@@ -1,0 +1,298 @@
+"""Two-level IVF-Flat index: build (fit) and batched search.
+
+Build parity (/root/reference/src/ivf_index.rs:58-177):
+  * nlist / max-iteration heuristics from corpus size;
+  * mini-batch k-means over the corpus;
+  * super-centroid k-means over the centroid table with
+    num_shards = ceil(sqrt(nlist)) and derived seed ``seed*31 + 7``;
+  * empty posting lists filtered and centroid ids densely remapped;
+  * centroid -> shard table retained as index metadata.
+
+Search redesign (reference: ivf_index.rs:190-267 streams shard files per
+query): one jitted device program per (k, n_probe, geometry) —
+  coarse distance matmul -> top-n_probe centroids -> static-window posting
+  row gather -> masked exact L2 re-rank -> top-k — batched over queries,
+which is the single biggest structural win over the reference's sequential
+per-query loop (bindings/python/src/lib.rs:74-97).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.kmeans import run_kmeans_mini_batch
+from ..ops.distance import sq_norms
+from ..ops.topk import topk_smallest
+from ..storage.layout import PostingLayout, build_layout
+from ..storage.vector_store import VectorStore
+from ..utils.heuristics import (
+    calculate_max_iterations,
+    calculate_num_clusters,
+    num_shards_for,
+)
+
+log = logging.getLogger("vector_indexer_tpu")
+
+_QUERY_TILE = 256  # queries per device tile in the search program
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "n_probe", "list_window", "q_tile")
+)
+def _ivf_search_program(
+    queries,  # (nq_pad, d) f32, nq_pad % q_tile == 0
+    centroids,  # (kc, d) f32
+    c_sq,  # (kc,) f32
+    vectors,  # (n_pad, d) f32 cluster-permuted, zero pad rows at tail
+    row_norms,  # (n_pad,) f32
+    starts,  # (kc,) int32 cluster start rows
+    lengths,  # (kc,) int32 posting lengths
+    *,
+    k: int,
+    n_probe: int,
+    list_window: int,
+    q_tile: int,
+):
+    nq_pad, d = queries.shape
+    pad_row = vectors.shape[0] - 1  # always a zero row (layout pads n+1..)
+    window_iota = jnp.arange(list_window, dtype=jnp.int32)
+
+    def one_tile(qt):
+        q_sq = sq_norms(qt)
+        # Coarse quantizer scan: one (q_tile, kc) matmul on the MXU — the
+        # reference does this scalar per query (ivf_index.rs:204-213).
+        cross = jnp.dot(
+            qt,
+            centroids.T,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        dcoarse = q_sq[:, None] - 2.0 * cross + c_sq[None, :]
+        _, probe = jax.lax.top_k(-dcoarse, n_probe)  # (q_tile, n_probe)
+
+        st = starts[probe]  # (q_tile, n_probe)
+        ln = lengths[probe]
+        rows = st[:, :, None] + window_iota[None, None, :]
+        valid = window_iota[None, None, :] < ln[:, :, None]
+        rows = jnp.where(valid, rows, pad_row)
+        rows_f = rows.reshape(q_tile, n_probe * list_window)
+        valid_f = valid.reshape(q_tile, n_probe * list_window)
+
+        cand = vectors[rows_f]  # (q_tile, C, d) HBM gather
+        cross2 = jnp.einsum(
+            "qd,qcd->qc", qt, cand, precision=jax.lax.Precision.HIGHEST
+        )
+        dist = q_sq[:, None] - 2.0 * cross2 + row_norms[rows_f]
+        dist = jnp.where(valid_f, jnp.maximum(dist, 0.0), jnp.inf)
+
+        dvals, ci = topk_smallest(dist, k)
+        rows_sel = jnp.take_along_axis(rows_f, jnp.maximum(ci, 0), axis=1)
+        ivals = jnp.where((ci >= 0) & jnp.isfinite(dvals), rows_sel, -1)
+        return dvals, ivals
+
+    tiles = queries.reshape(nq_pad // q_tile, q_tile, d)
+    dvals, ivals = jax.lax.map(one_tile, tiles)
+    return dvals.reshape(nq_pad, k), ivals.reshape(nq_pad, k)
+
+
+class IvfIndex:
+    """Two-level IVF-Flat index with an HBM-resident posting layout."""
+
+    def __init__(self, dimension: int):
+        self.dimension = int(dimension)
+        self.centroids = np.zeros((0, dimension), np.float32)
+        self.centroids_to_shard = np.zeros(0, np.int32)
+        self.num_shards = 0
+        self.layout: Optional[PostingLayout] = None
+        # Host-side record columns, in *internal id* order.
+        self.external_ids = np.zeros(0, np.uint64)
+        self.timestamps = np.zeros(0, np.uint64)
+        # Device-side centroid table (built lazily).
+        self._dev = None
+
+    # ------------------------------------------------------------------
+    # Build
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def fit(
+        cls,
+        store: VectorStore,
+        seed: int = 42,
+        nlist: Optional[int] = None,
+        max_iters: Optional[int] = None,
+    ) -> "IvfIndex":
+        n = len(store)
+        if n == 0:
+            raise ValueError("no vectors provided")
+        data = store.get_vectors()
+        dim = data.shape[1]
+        k = nlist if nlist is not None else calculate_num_clusters(n)
+        k = max(1, min(k, n))
+        iters = max_iters if max_iters is not None else calculate_max_iterations(n)
+        log.info("ivf.fit: n=%d dim=%d nlist=%d max_iters=%d", n, dim, k, iters)
+
+        kres = run_kmeans_mini_batch(data, k, iters, seed=seed)
+        centroids = np.asarray(kres.centroids)
+        labels = np.asarray(kres.labels).astype(np.int64)
+
+        # Super-centroid clustering over the (unfiltered) centroid table.
+        num_shards = num_shards_for(k)
+        super_seed = (seed * 31 + 7) % (2**63)
+        if num_shards >= k:
+            shard_labels_all = np.arange(k, dtype=np.int64) % num_shards
+        else:
+            sres = run_kmeans_mini_batch(
+                centroids, num_shards, 100, seed=super_seed
+            )
+            shard_labels_all = np.asarray(sres.labels).astype(np.int64)
+
+        # Filter empty posting lists; densify centroid ids (order-preserving).
+        counts = np.bincount(labels, minlength=k)
+        keep = np.flatnonzero(counts > 0)
+        log.info(
+            "ivf.fit: filtered %d empty lists, %d remain, %d shards",
+            k - len(keep), len(keep), num_shards,
+        )
+        old_to_new = np.full(k, -1, np.int64)
+        old_to_new[keep] = np.arange(len(keep))
+        new_labels = old_to_new[labels]
+
+        idx = cls(dim)
+        idx.centroids = centroids[keep]
+        idx.centroids_to_shard = shard_labels_all[keep].astype(np.int32)
+        idx.num_shards = num_shards
+        idx.external_ids = store.external_ids
+        idx.timestamps = store.timestamps
+        # Lay clusters of the same shard contiguously so multi-chip sharding
+        # (and shard files) slice contiguous row ranges.
+        cluster_order = np.argsort(idx.centroids_to_shard, kind="stable")
+        idx.layout = build_layout(data, new_labels, len(keep), cluster_order)
+        return idx
+
+    # ------------------------------------------------------------------
+    # Search
+    # ------------------------------------------------------------------
+
+    @property
+    def num_clusters(self) -> int:
+        return self.centroids.shape[0]
+
+    def _device_tables(self):
+        if self._dev is None:
+            c = jnp.asarray(self.centroids, jnp.float32)
+            self._dev = (c, sq_norms(c))
+        return self._dev
+
+    def search_batch(
+        self,
+        queries: np.ndarray,
+        k: int,
+        n_probe: int,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched search: (nq, d) -> (D (nq, k) f32, I_internal (nq, k) i64).
+
+        Missing slots (fewer than k candidates) are padded D=+inf, I=-1 —
+        the bindings' (D, I) contract (bindings/python/src/lib.rs:179-187).
+        """
+        if self.layout is None or self.num_clusters == 0:
+            raise RuntimeError("index is empty: fit or load it first")
+        if k <= 0:
+            raise ValueError("k must be > 0")
+        if n_probe <= 0:
+            raise ValueError("n_probe must be > 0")
+        queries = np.ascontiguousarray(queries, dtype=np.float32)
+        if queries.ndim == 1:
+            queries = queries[None, :]
+        nq, d = queries.shape
+        if d != self.dimension:
+            raise ValueError(
+                f"query dimension mismatch: expected {self.dimension}, got {d}"
+            )
+
+        n_probe = min(n_probe, self.num_clusters)
+        q_tile = min(_QUERY_TILE, _round_up(nq, 8))
+        nq_pad = _round_up(nq, q_tile)
+        qp = np.zeros((nq_pad, d), np.float32)
+        qp[:nq] = queries
+
+        centroids, c_sq = self._device_tables()
+        lay = self.layout
+        dvals, irows = _ivf_search_program(
+            jnp.asarray(qp),
+            centroids,
+            c_sq,
+            lay.vectors,
+            lay.row_norms,
+            lay.offsets[:-1],
+            lay.lengths,
+            k=k,
+            n_probe=n_probe,
+            list_window=max(1, lay.max_list_len),
+            q_tile=q_tile,
+        )
+        dvals = np.asarray(dvals)[:nq]
+        irows = np.asarray(irows)[:nq]
+        # Map layout rows -> internal ids on host (cheap: nq*k).
+        internal = np.where(irows >= 0, lay.perm[np.clip(irows, 0, lay.n - 1)], -1)
+        return dvals, internal.astype(np.int64)
+
+    def search(
+        self, query: np.ndarray, k: int, n_probe: int
+    ) -> list[tuple[int, float, np.ndarray]]:
+        """Single-query convenience: list of (external_id, distance, vector),
+        sorted ascending, only real hits (parity with ivf_index.rs search
+        returning (usize, f32, Vec<f32>) triples)."""
+        dvals, internal = self.search_batch(np.asarray(query)[None, :], k, n_probe)
+        out = []
+        for dist, iid in zip(dvals[0], internal[0]):
+            if iid < 0 or not np.isfinite(dist):
+                continue
+            row = int(iid)
+            out.append(
+                (int(self.external_ids[row]), float(dist), self._vector_of(row))
+            )
+        return out
+
+    def _vector_of(self, internal_id: int) -> np.ndarray:
+        lay = self.layout
+        # perm maps layout row -> internal id; invert for payload fetch.
+        if not hasattr(self, "_perm_inv") or self._perm_inv is None or len(
+            self._perm_inv
+        ) != lay.n:
+            inv = np.empty(lay.n, np.int64)
+            inv[lay.perm] = np.arange(lay.n)
+            self._perm_inv = inv
+        return np.asarray(lay.vectors[self._perm_inv[internal_id]])
+
+    # ------------------------------------------------------------------
+    # Persistence (delegates to storage.persist)
+    # ------------------------------------------------------------------
+
+    def save_to(self, index_dir, shards_dir=None) -> None:
+        from ..storage import persist
+
+        persist.save_index(self, index_dir, shards_dir)
+
+    def save_shards_to(self, shards_dir) -> None:
+        from ..storage import persist
+
+        persist.save_shards(self, shards_dir)
+
+
+def load_index_from(index_dir, shards_dir=None) -> IvfIndex:
+    """Load index metadata (+ posting layout from shard files when given)."""
+    from ..storage import persist
+
+    return persist.load_index(index_dir, shards_dir)

@@ -1,0 +1,449 @@
+"""K-means trainers: k-means++ init, full-batch Lloyd, mini-batch, hierarchical assign.
+
+Capability parity with /root/reference/src/kmeans.rs, designed TPU-first:
+
+* assignment = tiled ``||x||^2 - 2 x C^T + ||c||^2`` matmuls (MXU), never a
+  per-point scalar loop (reference: find_nearest_centroid + rayon,
+  kmeans.rs:355-470);
+* centroid update = one-hot matmul partial sums fused into the same tile
+  scan (reference: update_centroids_parallel, kmeans.rs:674-719);
+* mini-batch update keeps the reference's per-cluster learning rate
+  ``eta = 1/count`` with count incremented once per batch hit
+  (kmeans.rs:729-787), vectorized over all k clusters at once;
+* the whole training loop runs on-device under ``lax.while_loop`` with an
+  RMS-delta early stop (sqrt(sum((c-p)^2)/(k*d)) < 1e-4, kmeans.rs:334-351);
+* empty clusters are re-seeded from random data points every iteration
+  (kmeans.rs:313-331);
+* k-means++ init is exact below 50k points and subsampled above
+  (kmeans.rs:154-310), with deterministic jax.random keys replacing StdRng.
+* hierarchical (two-level) assignment for very large k mirrors
+  kmeans.rs:474-648 (meta_k = clamp(sqrt(k), 2, k/2), 5 Lloyd iterations on
+  the centroids with derived seed ``seed*17+42``, top-3 meta probe).
+
+Determinism: bit-reproducible given (data, params, seed); sequences differ
+from the reference's StdRng, so statistical invariants (inertia, recall) are
+the cross-implementation contract, as in the reference's own stability tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.distance import pairwise_sq_l2, sq_norms
+from ..utils.heuristics import mini_batch_size
+
+_SAMPLE_THRESHOLD = 50_000  # exact vs sampled k-means++ switch (kmeans.rs:158)
+_DEFAULT_TOL = 1e-4
+_ASSIGN_CHUNK = 8192
+# Dense distance matmul rides the MXU; two-level assignment only pays off for
+# very large centroid tables. (The reference flips at k>100 because its dense
+# path is scalar-SIMD; on TPU that would be a pessimization.)
+_HIERARCHICAL_K_THRESHOLD = 8192
+
+
+@dataclasses.dataclass
+class KMeansResult:
+    centroids: jax.Array  # (k, d) f32
+    labels: jax.Array  # (n,) int32
+    iterations: int
+    converged: bool
+
+
+def _check_data(data) -> jax.Array:
+    data = jnp.asarray(data, dtype=jnp.float32)
+    if data.ndim != 2 or data.shape[0] == 0 or data.shape[1] == 0:
+        raise ValueError("Input vectors cannot be empty")
+    return data
+
+
+# ---------------------------------------------------------------------------
+# k-means++ initialization
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _kmeans_pp_exact(key, data: jax.Array, k: int) -> jax.Array:
+    """Exact k-means++ on-device: lax.fori_loop over k D^2-weighted draws."""
+    n, d = data.shape
+    key0, key_first = jax.random.split(key)
+    first = jax.random.randint(key_first, (), 0, n)
+    centroids0 = jnp.zeros((k, d), jnp.float32).at[0].set(data[first])
+
+    x_sq = sq_norms(data)
+
+    def dist_to(c):
+        # (n,) squared distances to a single centroid, via the expansion.
+        cross = data @ c
+        return jnp.maximum(x_sq - 2.0 * cross + jnp.sum(c * c), 0.0)
+
+    min_d0 = dist_to(data[first])
+
+    def body(i, carry):
+        centroids, min_d = carry
+        ki = jax.random.fold_in(key0, i)
+        total = jnp.sum(min_d)
+        # D^2-weighted draw via categorical on log weights; all-zero weights
+        # (identical points) degrade to a uniform draw.
+        logits = jnp.where(min_d > 0, jnp.log(jnp.maximum(min_d, 1e-30)), -jnp.inf)
+        logits = jnp.where(total > 0, logits, jnp.zeros_like(logits))
+        idx = jax.random.categorical(ki, logits)
+        c = data[idx]
+        centroids = centroids.at[i].set(c)
+        min_d = jnp.minimum(min_d, dist_to(c))
+        return centroids, min_d
+
+    centroids, _ = jax.lax.fori_loop(1, k, body, (centroids0, min_d0))
+    return centroids
+
+
+def kmeans_plus_plus_init(
+    data,
+    k: int,
+    seed: int = 42,
+    sample_threshold: int = _SAMPLE_THRESHOLD,
+) -> jax.Array:
+    """k-means++ seeding; subsampled above ``sample_threshold`` points.
+
+    Parity: kmeans_plus_plus_init dispatch (kmeans.rs:154-164), exact
+    (kmeans.rs:167-228, incl. the k>=n duplication path :216-225), sampled
+    (kmeans.rs:232-310).
+    """
+    data = _check_data(data)
+    n = data.shape[0]
+    key = jax.random.PRNGKey(seed)
+
+    if k >= n:
+        # Every point becomes a centroid; surplus centroids cycle through the
+        # points again (empty-cluster repair owns them during training).
+        idx = jnp.arange(k) % n
+        return data[idx]
+
+    if n > sample_threshold:
+        key, sub = jax.random.split(key)
+        pick = jax.random.choice(sub, n, (sample_threshold,), replace=False)
+        data = data[pick]
+
+    return _kmeans_pp_exact(key, data, k)
+
+
+# ---------------------------------------------------------------------------
+# Assignment
+# ---------------------------------------------------------------------------
+
+
+def _pad_tiles(x: jax.Array, chunk: int):
+    n, d = x.shape
+    n_pad = -(-n // chunk) * chunk
+    xp = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+    return xp.reshape(n_pad // chunk, chunk, d), n_pad
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _assign_dense(data: jax.Array, centroids: jax.Array, chunk: int = _ASSIGN_CHUNK):
+    n, _ = data.shape
+    c_sq = sq_norms(centroids)
+    tiles, _ = _pad_tiles(data, chunk)
+
+    def one(xt):
+        dmat = pairwise_sq_l2(xt, centroids, c_sq=c_sq)
+        return jnp.argmin(dmat, axis=1).astype(jnp.int32), jnp.min(dmat, axis=1)
+
+    labels, dists = jax.lax.map(one, tiles)
+    return labels.reshape(-1)[:n], dists.reshape(-1)[:n]
+
+
+def assign_points(data, centroids, method: str = "auto", chunk: int = _ASSIGN_CHUNK):
+    """labels, sq_dists = nearest centroid per point.
+
+    ``auto`` uses the dense MXU path unless k is very large, in which case the
+    two-level candidate short-list is cheaper (reference flips at k>100,
+    kmeans.rs:445-459; on the MXU the crossover is orders of magnitude later).
+    """
+    data = jnp.asarray(data, jnp.float32)
+    centroids = jnp.asarray(centroids, jnp.float32)
+    k = centroids.shape[0]
+    if method == "auto":
+        method = "hierarchical" if k > _HIERARCHICAL_K_THRESHOLD else "dense"
+    if method == "dense":
+        return _assign_dense(data, centroids, chunk=chunk)
+    if method == "hierarchical":
+        return assign_points_hierarchical(data, centroids, chunk=chunk)
+    raise ValueError(f"unknown assignment method: {method}")
+
+
+def assign_points_hierarchical(
+    data,
+    centroids,
+    seed: int = 42,
+    probes: int = 3,
+    chunk: int = _ASSIGN_CHUNK,
+):
+    """Two-level assignment: meta-centroid probe then masked candidate argmin.
+
+    Parity with assign_points_hierarchical / build_centroid_hierarchy
+    (kmeans.rs:474-648): meta_k = clamp(sqrt(k), 2, k/2); the meta clustering
+    is 5 Lloyd iterations over the centroid table with derived seed
+    ``seed*17+42``; each point probes its top-3 meta centroids and argmins
+    over their member centroids only.
+    """
+    data = jnp.asarray(data, jnp.float32)
+    centroids = jnp.asarray(centroids, jnp.float32)
+    n, d = data.shape
+    k = centroids.shape[0]
+    meta_k = max(2, min(int(math.sqrt(k)), k // 2))
+    probes = min(probes, meta_k)
+
+    # 5 Lloyd iterations on the centroids themselves.
+    meta = run_kmeans_lloyd(
+        centroids, meta_k, max_iters=5, seed=seed * 17 + 42, early_stop_threshold=0.0
+    )
+    meta_centroids = meta.centroids
+    meta_labels = np.asarray(meta.labels)
+
+    # Padded group table (meta_k, g_max) of centroid ids, -1 = hole. Built on
+    # host: this is a build-time data-dependent shape.
+    counts = np.bincount(meta_labels, minlength=meta_k)
+    g_max = max(1, int(counts.max()))
+    table = np.full((meta_k, g_max), -1, dtype=np.int32)
+    fill = np.zeros(meta_k, dtype=np.int64)
+    for cid, m in enumerate(meta_labels):
+        table[m, fill[m]] = cid
+        fill[m] += 1
+    table = jnp.asarray(table)
+
+    return _assign_hierarchical_jit(
+        data, centroids, meta_centroids, table, probes=probes, chunk=chunk
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("probes", "chunk"))
+def _assign_hierarchical_jit(data, centroids, meta_centroids, table, probes, chunk):
+    n, d = data.shape
+    c_sq = sq_norms(centroids)
+    m_sq = sq_norms(meta_centroids)
+    g_max = table.shape[1]
+    tiles, _ = _pad_tiles(data, chunk)
+
+    def one(xt):
+        dmeta = pairwise_sq_l2(xt, meta_centroids, c_sq=m_sq)  # (chunk, meta_k)
+        _, top_meta = jax.lax.top_k(-dmeta, probes)  # (chunk, probes)
+        cand = table[top_meta].reshape(chunk, probes * g_max)  # (chunk, P)
+        valid = cand >= 0
+        cand_safe = jnp.where(valid, cand, 0)
+        cvecs = centroids[cand_safe]  # (chunk, P, d) gather
+        cross = jnp.einsum(
+            "cd,cpd->cp", xt, cvecs, precision=jax.lax.Precision.HIGHEST
+        )
+        dist = sq_norms(xt)[:, None] - 2.0 * cross + c_sq[cand_safe]
+        dist = jnp.where(valid, jnp.maximum(dist, 0.0), jnp.inf)
+        best = jnp.argmin(dist, axis=1)
+        lbl = jnp.take_along_axis(cand_safe, best[:, None], axis=1)[:, 0]
+        bd = jnp.take_along_axis(dist, best[:, None], axis=1)[:, 0]
+        return lbl.astype(jnp.int32), bd
+
+    labels, dists = jax.lax.map(one, tiles)
+    return labels.reshape(-1)[:n], dists.reshape(-1)[:n]
+
+
+# ---------------------------------------------------------------------------
+# Shared update pieces
+# ---------------------------------------------------------------------------
+
+
+def _segment_stats(x: jax.Array, labels: jax.Array, k: int, valid=None):
+    """(sums (k,d), counts (k,)) via one-hot matmul — MXU-friendly scatter-add."""
+    oh = jax.nn.one_hot(labels, k, dtype=jnp.float32)
+    if valid is not None:
+        oh = oh * valid[:, None]
+    sums = jnp.dot(oh.T, x, precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=jnp.float32)
+    counts = jnp.sum(oh, axis=0)
+    return sums, counts
+
+
+def _repair_empty(key, centroids: jax.Array, counts: jax.Array, data: jax.Array):
+    """Re-seed zero-count clusters from random data points (kmeans.rs:313-331)."""
+    k = centroids.shape[0]
+    n = data.shape[0]
+    ridx = jax.random.randint(key, (k,), 0, n)
+    repl = data[ridx]
+    empty = (counts == 0)[:, None]
+    return jnp.where(empty, repl, centroids)
+
+
+def _rms_delta(curr: jax.Array, prev: jax.Array) -> jax.Array:
+    k, d = curr.shape
+    return jnp.sqrt(jnp.sum((curr - prev) ** 2) / (k * d))
+
+
+# ---------------------------------------------------------------------------
+# Full-batch Lloyd
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("k", "max_iters", "chunk"))
+def _lloyd_loop(data, init_centroids, key, k, max_iters, tol, chunk):
+    n, d = data.shape
+    tiles, n_pad = _pad_tiles(data, chunk)
+    num_tiles = n_pad // chunk
+    row_iota = jnp.arange(chunk)
+
+    def stats(centroids):
+        c_sq = sq_norms(centroids)
+
+        def step(carry, inp):
+            sums, counts = carry
+            xt, start = inp
+            dmat = pairwise_sq_l2(xt, centroids, c_sq=c_sq)
+            lbl = jnp.argmin(dmat, axis=1).astype(jnp.int32)
+            valid = ((start + row_iota) < n).astype(jnp.float32)
+            s, c = _segment_stats(xt, lbl, k, valid=valid)
+            return (sums + s, counts + c), None
+
+        starts = jnp.arange(num_tiles) * chunk
+        (sums, counts), _ = jax.lax.scan(
+            step, (jnp.zeros((k, d)), jnp.zeros(k)), (tiles, starts)
+        )
+        return sums, counts
+
+    def cond(carry):
+        _, _, it, delta, _ = carry
+        return jnp.logical_and(it < max_iters, delta >= tol)
+
+    def body(carry):
+        centroids, key, it, _, _ = carry
+        key, krep = jax.random.split(key)
+        sums, counts = stats(centroids)
+        new_c = jnp.where(
+            (counts > 0)[:, None], sums / jnp.maximum(counts, 1.0)[:, None], centroids
+        )
+        new_c = _repair_empty(krep, new_c, counts, data)
+        delta = _rms_delta(new_c, centroids)
+        return new_c, key, it + 1, delta, delta < tol
+
+    init = (init_centroids, key, jnp.int32(0), jnp.float32(jnp.inf), False)
+    centroids, _, iters, _, converged = jax.lax.while_loop(cond, body, init)
+    return centroids, iters, converged
+
+
+def run_kmeans_lloyd(
+    data,
+    k: int,
+    max_iters: int,
+    early_stop_threshold: Optional[float] = _DEFAULT_TOL,
+    seed: int = 42,
+    chunk: int = _ASSIGN_CHUNK,
+) -> KMeansResult:
+    """Full-batch Lloyd (parity: run_kmeans_parallel, kmeans.rs:15-60)."""
+    data = _check_data(data)
+    tol = _DEFAULT_TOL if early_stop_threshold is None else early_stop_threshold
+    init = kmeans_plus_plus_init(data, k, seed=seed)
+    key = jax.random.PRNGKey(np.uint32(seed ^ 0x5EED))
+    chunk = min(chunk, max(8, data.shape[0]))
+    centroids, iters, converged = _lloyd_loop(
+        data, init, key, k, max_iters, jnp.float32(tol), chunk
+    )
+    labels, _ = assign_points(data, centroids, chunk=chunk)
+    return KMeansResult(centroids, labels, int(iters), bool(converged))
+
+
+# ---------------------------------------------------------------------------
+# Mini-batch
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("k", "max_iters", "batch_size"))
+def _mini_batch_loop(data, init_centroids, key, k, max_iters, tol, batch_size):
+    n, d = data.shape
+
+    def cond(carry):
+        _, _, _, it, delta, _ = carry
+        return jnp.logical_and(it < max_iters, delta >= tol)
+
+    def body(carry):
+        centroids, cluster_counts, key, it, _, _ = carry
+        key, ksamp, krep = jax.random.split(key, 3)
+
+        # Sample without replacement (sample_batch, kmeans.rs:722-726).
+        idx = jax.random.choice(ksamp, n, (batch_size,), replace=False)
+        batch = data[idx]
+
+        dmat = pairwise_sq_l2(batch, centroids)
+        lbl = jnp.argmin(dmat, axis=1).astype(jnp.int32)
+        sums, bcounts = _segment_stats(batch, lbl, k)
+
+        # Per-cluster LR: count bumps once per batch hit; eta = 1/new_count;
+        # c <- (1-eta) c + eta * batch_mean  (kmeans.rs:756-773).
+        hit = bcounts > 0
+        new_counts = cluster_counts + hit.astype(jnp.float32)
+        eta = jnp.where(hit, 1.0 / jnp.maximum(new_counts, 1.0), 0.0)[:, None]
+        mean = sums / jnp.maximum(bcounts, 1.0)[:, None]
+        new_c = jnp.where(hit[:, None], (1.0 - eta) * centroids + eta * mean, centroids)
+
+        new_c = _repair_empty(krep, new_c, new_counts, data)
+        delta = _rms_delta(new_c, centroids)
+        return new_c, new_counts, key, it + 1, delta, delta < tol
+
+    init = (
+        init_centroids,
+        jnp.zeros(k, jnp.float32),
+        key,
+        jnp.int32(0),
+        jnp.float32(jnp.inf),
+        False,
+    )
+    centroids, _, _, iters, _, converged = jax.lax.while_loop(cond, body, init)
+    return centroids, iters, converged
+
+
+def run_kmeans_mini_batch(
+    data,
+    k: int,
+    max_iters: int,
+    early_stop_threshold: Optional[float] = _DEFAULT_TOL,
+    seed: int = 42,
+    batch_size: Optional[int] = None,
+    chunk: int = _ASSIGN_CHUNK,
+) -> KMeansResult:
+    """Mini-batch k-means (parity: run_kmeans_mini_batch, kmeans.rs:64-150).
+
+    Defaults keep the reference's operating point (batch = clamp(sqrt(n), 10,
+    256)); on TPU a larger batch is nearly free and converges in fewer
+    iterations, so builders may pass ``batch_size`` explicitly.
+    """
+    data = _check_data(data)
+    n = data.shape[0]
+    tol = _DEFAULT_TOL if early_stop_threshold is None else early_stop_threshold
+    if batch_size is None:
+        batch_size = mini_batch_size(n)
+    batch_size = min(batch_size, n)
+
+    init = kmeans_plus_plus_init(data, k, seed=seed)
+    key = jax.random.PRNGKey(np.uint32(seed ^ 0xB47C4))
+    centroids, iters, converged = _mini_batch_loop(
+        data, init, key, k, max_iters, jnp.float32(tol), batch_size
+    )
+    chunk = min(chunk, max(8, n))
+    labels, _ = assign_points(data, centroids, chunk=chunk)
+    return KMeansResult(centroids, labels, int(iters), bool(converged))
+
+
+# ---------------------------------------------------------------------------
+# Quality metrics
+# ---------------------------------------------------------------------------
+
+
+def compute_inertia(data, centroids, labels) -> float:
+    """Sum of squared distances of points to their assigned centroid."""
+    data = jnp.asarray(data, jnp.float32)
+    centroids = jnp.asarray(centroids, jnp.float32)
+    labels = jnp.asarray(labels)
+    diff = data - centroids[labels]
+    return float(jnp.sum(diff * diff))

@@ -1,0 +1,230 @@
+"""Index persistence: metadata file + shard files -> load-or-build.
+
+Two-artifact layout, parity with the reference
+(/root/reference/src/ivf_index.rs:274-316 for index.bin;
+/root/reference/src/shards.rs for shard_{id}.bin):
+
+  index_dir/index.bin   — centroid table, centroid->shard map, geometry
+  shards_dir/shard_N.bin — posting lists (vectors + ids + timestamps)
+
+Resume = load: metadata is read, every shard file is parsed, and the whole
+posting set is re-staged into device HBM (the layout the queries run on).
+Failure semantics match the reference's graceful degradation
+(ivf_index.rs:254, integration_tests.rs:489-533): a missing or corrupt shard
+file is logged and skipped — its clusters simply drop out of the searchable
+set; search never crashes.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import struct
+import zlib
+from pathlib import Path
+
+import numpy as np
+
+from .shard_format import (
+    ClusterData,
+    Shard,
+    ShardFormatError,
+    load_shard_from_disk,
+    save_shard,
+    shard_path,
+)
+
+log = logging.getLogger("vector_indexer_tpu")
+
+INDEX_MAGIC = 0x56495849  # 'VIXI'
+INDEX_VERSION = 1
+_IDX_HEADER = struct.Struct("<IIIIIIQII")  # 40 bytes incl. crc+pad
+
+
+def index_path(index_dir) -> Path:
+    return Path(index_dir) / "index.bin"
+
+
+def save_index(index, index_dir, shards_dir=None) -> None:
+    """Write index.bin (and shard files when shards_dir is given)."""
+    os.makedirs(index_dir, exist_ok=True)
+    kc = index.num_clusters
+    dim = index.dimension
+    n_total = index.layout.n if index.layout is not None else 0
+
+    body = _IDX_HEADER.pack(
+        INDEX_MAGIC,
+        INDEX_VERSION,
+        dim,
+        kc,
+        index.num_shards,
+        0,
+        n_total,
+        0,
+        0,
+    )
+    crc = zlib.crc32(body[:32])
+    header = body[:32] + struct.pack("<II", crc, 0)
+
+    with open(index_path(index_dir), "wb") as f:
+        f.write(header)
+        f.write(np.ascontiguousarray(index.centroids, np.float32).tobytes())
+        f.write(np.ascontiguousarray(index.centroids_to_shard, np.int32).tobytes())
+
+    if shards_dir is not None:
+        save_shards(index, shards_dir)
+
+
+def save_shards(index, shards_dir) -> None:
+    """Materialize per-shard files from the HBM layout."""
+    lay = index.layout
+    if lay is None:
+        raise RuntimeError("index has no posting layout to persist")
+    vectors = np.asarray(lay.vectors)[: lay.n]
+    starts = np.asarray(lay.offsets)[:-1]
+    lengths = np.asarray(lay.lengths)
+    perm = lay.perm
+
+    for sid in range(index.num_shards):
+        cids = np.flatnonzero(index.centroids_to_shard == sid)
+        clusters = []
+        for cid in cids:
+            s, m = int(starts[cid]), int(lengths[cid])
+            rows = slice(s, s + m)
+            internal = perm[rows]
+            clusters.append(
+                ClusterData(
+                    centroid_id=int(cid),
+                    centroid=index.centroids[cid],
+                    internal_ids=internal.astype(np.uint64),
+                    external_ids=index.external_ids[internal],
+                    timestamps=index.timestamps[internal],
+                    vectors=vectors[rows],
+                )
+            )
+        shard = Shard(id=sid, dimension=index.dimension, clusters=clusters)
+        try:
+            save_shard(shard, shards_dir)
+        except OSError as e:  # log-and-continue (ivf_index.rs:167-171)
+            log.error("failed to write shard %d: %s", sid, e)
+    log.info("%d shards written to %s", index.num_shards, shards_dir)
+
+
+def load_index(index_dir, shards_dir=None):
+    """Read index.bin; if shards_dir given, re-stage posting lists into HBM."""
+    from ..index.ivf import IvfIndex
+    from .layout import PostingLayout
+
+    p = index_path(index_dir)
+    if not os.path.exists(p):
+        raise FileNotFoundError(f"index file not found: {p}")
+    with open(p, "rb") as f:
+        buf = f.read()
+    if len(buf) < 40:
+        raise ShardFormatError(f"{p}: truncated index header")
+    magic, version, dim, kc, num_shards, _, n_total, crc, _ = _IDX_HEADER.unpack_from(
+        buf, 0
+    )
+    if magic != INDEX_MAGIC:
+        raise ShardFormatError(f"{p}: bad index magic")
+    if zlib.crc32(buf[:32]) != crc:
+        raise ShardFormatError(f"{p}: index header CRC mismatch")
+    if version != INDEX_VERSION:
+        raise ShardFormatError(f"{p}: unsupported index version {version}")
+
+    off = 40
+    cent = np.frombuffer(buf, "<f4", count=kc * dim, offset=off).reshape(kc, dim)
+    off += 4 * kc * dim
+    c2s = np.frombuffer(buf, "<i4", count=kc, offset=off)
+
+    idx = IvfIndex(dim)
+    idx.centroids = cent.copy()
+    idx.centroids_to_shard = c2s.copy()
+    idx.num_shards = num_shards
+
+    if shards_dir is not None:
+        _stage_shards(idx, shards_dir, n_total)
+    return idx
+
+
+def _stage_shards(idx, shards_dir, n_total: int) -> None:
+    """Parse all shard files and rebuild the HBM posting layout.
+
+    Missing/corrupt shards are skipped with a warning (partial-result
+    semantics); their clusters keep zero-length posting lists.
+    """
+    import jax.numpy as jnp
+
+    from .layout import PostingLayout
+
+    kc = idx.num_clusters
+    dim = idx.dimension
+    clusters: dict[int, ClusterData] = {}
+    for sid in range(idx.num_shards):
+        path = shard_path(shards_dir, sid)
+        try:
+            shard = load_shard_from_disk(path)
+            if shard.id != sid:
+                raise ShardFormatError(f"{path}: shard id mismatch")
+        except (ShardFormatError, OSError) as e:
+            log.warning("skipping shard %d: %s", sid, e)
+            continue
+        for cl in shard.clusters:
+            clusters[cl.centroid_id] = cl
+
+    # Cluster placement identical to build: grouped by shard (stable).
+    cluster_order = np.argsort(idx.centroids_to_shard, kind="stable")
+
+    lengths = np.zeros(kc, np.int32)
+    vec_parts, perm_parts = [], []
+    starts = np.zeros(kc, np.int32)
+    row = 0
+    for cid in cluster_order:
+        cl = clusters.get(int(cid))
+        starts[cid] = row
+        if cl is None:
+            continue
+        m = cl.vectors.shape[0]
+        lengths[cid] = m
+        vec_parts.append(cl.vectors)
+        perm_parts.append(cl.internal_ids.astype(np.int64))
+        row += m
+
+    n = row
+    if vec_parts:
+        allvecs = np.concatenate(vec_parts, axis=0)
+        perm = np.concatenate(perm_parts)
+    else:
+        allvecs = np.zeros((0, dim), np.float32)
+        perm = np.zeros(0, np.int64)
+
+    n_pad = -(-(n + 1) // 8) * 8
+    padded = np.zeros((n_pad, dim), np.float32)
+    padded[:n] = allvecs
+    norms = np.zeros(n_pad, np.float32)
+    norms[:n] = (allvecs.astype(np.float64) ** 2).sum(1).astype(np.float32)
+
+    csr = np.zeros(kc + 1, np.int32)
+    csr[:-1] = starts
+    csr[-1] = n
+
+    idx.layout = PostingLayout(
+        vectors=jnp.asarray(padded),
+        row_norms=jnp.asarray(norms),
+        offsets=jnp.asarray(csr),
+        lengths=jnp.asarray(lengths),
+        perm=perm,
+        n=n,
+        max_list_len=int(lengths.max()) if kc else 0,
+    )
+
+    # Record columns indexed by internal id; internal ids are dense 0..n_total.
+    size = max(n_total, int(perm.max()) + 1 if n else 0)
+    ext = np.zeros(size, np.uint64)
+    ts = np.zeros(size, np.uint64)
+    for cid, cl in clusters.items():
+        ii = cl.internal_ids.astype(np.int64)
+        ext[ii] = cl.external_ids
+        ts[ii] = cl.timestamps
+    idx.external_ids = ext
+    idx.timestamps = ts
