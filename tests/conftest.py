@@ -7,14 +7,23 @@ imported anywhere.
 
 import os
 
-# Hard override: the outer environment presets JAX_PLATFORMS=axon (remote TPU
-# tunnel); tests must run on the local virtual-device CPU backend.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# Force the local virtual-device CPU backend. NOTE: the outer environment's
+# sitecustomize registers the axon (remote TPU) PJRT plugin and overrides
+# JAX_PLATFORMS env settings, so the env var is NOT sufficient here — only
+# jax.config.update('jax_platforms', ...) reliably wins.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: the k-means while-loop programs are expensive
+# to compile; cache them across test runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/vix_jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,86 @@
+"""Multi-chip sharded search + data-parallel training tests (8 virtual CPU devices)."""
+
+import jax
+import numpy as np
+import pytest
+
+from conftest import make_gaussian_clusters
+from vector_indexer_tpu.index import IvfIndex
+from vector_indexer_tpu.models import compute_inertia, run_kmeans_lloyd
+from vector_indexer_tpu.parallel import (
+    ShardedSearcher,
+    make_shard_mesh,
+    run_kmeans_lloyd_dp,
+)
+from vector_indexer_tpu.storage import VectorStore
+
+
+@pytest.fixture(scope="module")
+def built():
+    data, _, _ = make_gaussian_clusters(12, 120, 24, spread=0.4, separation=8.0)
+    store = VectorStore(
+        external_ids=np.arange(len(data), dtype=np.uint64), vectors=data
+    )
+    idx = IvfIndex.fit(store, seed=42)
+    return idx, data
+
+
+def test_virtual_devices_present():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 8])
+def test_sharded_matches_single_chip(built, n_dev):
+    idx, data = built
+    mesh = make_shard_mesh(n_dev)
+    searcher = ShardedSearcher(idx, mesh)
+    q = data[:40]
+    D1, I1 = idx.search_batch(q, k=10, n_probe=idx.num_clusters)
+    D2, I2 = searcher.search_batch(q, k=10, n_probe=idx.num_clusters)
+    # Single-chip may take the dense-matmul path; distances can differ by
+    # f32 reduction-order noise.
+    np.testing.assert_allclose(D1, D2, rtol=1e-3, atol=5e-4)
+    # Distances identical => same neighbor sets (ties may permute).
+    for a, b in zip(I1, I2):
+        assert set(a.tolist()) == set(b.tolist())
+
+
+def test_sharded_probe_subset(built):
+    idx, data = built
+    mesh = make_shard_mesh(4)
+    searcher = ShardedSearcher(idx, mesh)
+    D, I = searcher.search_batch(data[:16], k=5, n_probe=3)
+    assert (I[:, 0] == np.arange(16)).all()  # self-hit survives sharding
+    assert (np.diff(D, axis=1) >= -1e-6).all()
+
+
+def test_sharded_row_conservation(built):
+    idx, _ = built
+    mesh = make_shard_mesh(8)
+    searcher = ShardedSearcher(idx, mesh)
+    # Every internal id appears exactly once across device-local tables.
+    ids = searcher.local_perm[searcher.local_perm >= 0]
+    assert len(ids) == idx.layout.n
+    assert len(np.unique(ids)) == idx.layout.n
+
+
+def test_sharded_errors(built):
+    idx, data = built
+    searcher = ShardedSearcher(idx, make_shard_mesh(2))
+    with pytest.raises(ValueError):
+        searcher.search_batch(data[:2], k=0, n_probe=1)
+    with pytest.raises(ValueError):
+        searcher.search_batch(np.zeros((2, 7), np.float32), k=1, n_probe=1)
+
+
+def test_dp_kmeans_quality():
+    data, _, _ = make_gaussian_clusters(6, 200, 16, spread=0.3, separation=9.0)
+    mesh = make_shard_mesh(8)
+    dp = run_kmeans_lloyd_dp(data, k=6, max_iters=50, mesh=mesh, seed=3)
+    single = run_kmeans_lloyd(data, k=6, max_iters=50, seed=3)
+    i_dp = compute_inertia(data, dp.centroids, dp.labels)
+    i_single = compute_inertia(data, single.centroids, single.labels)
+    assert i_dp <= i_single * 1.2
+    lbl = np.asarray(dp.labels)
+    assert lbl.shape == (len(data),)
+    assert lbl.min() >= 0 and lbl.max() < 6

@@ -1,0 +1,127 @@
+"""Numpy-first bindings surface: build / load / suggest_nlist / VectorIndex.
+
+Parity with the reference's Python bindings
+(/root/reference/bindings/python/src/lib.rs and
+/root/reference/bindings/python/python/vector_indexer_py/__init__.py):
+
+  * ``build(xb, work_dir)``: one-shot build from an (n, d) f32 array,
+    external_id = row index (lib.rs:220-280);
+  * ``load(index_dir, shards_dir, dim)`` (lib.rs:292-304);
+  * ``suggest_nlist(n)`` (lib.rs:308-315);
+  * ``VectorIndex.search(xq, k, n_probe)`` (asyncio) and ``search_sync``
+    returning ``(D, I)`` float32/int64 arrays of shape (nq, k), padded with
+    +inf / -1 (lib.rs:123-203).
+
+The reference needs a dedicated tokio-uring worker thread and crossbeam
+channels because its async runtime is thread-local; here the jitted search
+program is already asynchronous on device, so the bindings are direct calls
+— and queries inside a batch run as ONE device program instead of the
+reference's sequential per-query loop (lib.rs:74-97).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import os
+import tempfile
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .api import VectorIndexer, VectorIndexerConfig
+from .utils.heuristics import suggest_nlist
+
+__all__ = ["build", "load", "suggest_nlist", "VectorIndex"]
+
+
+class VectorIndex:
+    """Batched query handle over a built/loaded index."""
+
+    def __init__(self, indexer: VectorIndexer):
+        self._indexer = indexer
+
+    @property
+    def d(self) -> int:
+        return self._indexer.cfg.dimension
+
+    @property
+    def nlist(self) -> int:
+        return self._indexer.index.num_clusters
+
+    def search_sync(
+        self, xq: np.ndarray, k: int, n_probe: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """(nq, d) -> (D (nq, k) f32, I (nq, k) i64 external ids; pads +inf/-1)."""
+        xq = np.ascontiguousarray(xq, dtype=np.float32)
+        if xq.ndim == 1:
+            xq = xq[None, :]
+        return self._indexer.search_batch(xq, k=k, n_probe=n_probe)
+
+    # Back-compat alias for the reference's blocking entry point name.
+    search_blocking = search_sync
+
+    def search_device(self, xq, k: int, n_probe: int, method: str = "auto"):
+        """Device-resident search: returns (D, layout_rows) as jax arrays with
+        NO device->host transfer — the serving/bench hot path. Use
+        ``search_sync`` for host numpy results with external ids."""
+        xq = np.ascontiguousarray(xq, dtype=np.float32)
+        if xq.ndim == 1:
+            xq = xq[None, :]
+        idx = self._indexer.index
+        cfg = self._indexer.cfg
+        return idx.search_batch_device(
+            xq, min(k, cfg.max_k), min(n_probe, cfg.max_n_probe), method
+        )
+
+    def rows_to_external(self, rows) -> np.ndarray:
+        """Map device layout rows (from search_device) to external ids."""
+        idx = self._indexer.index
+        rows = np.asarray(rows)
+        internal = np.where(
+            rows >= 0, idx.layout.perm[np.clip(rows, 0, idx.layout.n - 1)], -1
+        )
+        return np.where(
+            internal >= 0,
+            idx.external_ids[np.clip(internal, 0, None)].astype(np.int64),
+            -1,
+        )
+
+    async def search(
+        self, xq: np.ndarray, k: int, n_probe: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        loop = asyncio.get_event_loop()
+        return await loop.run_in_executor(None, self.search_sync, xq, k, n_probe)
+
+
+def _default_work_dir() -> Path:
+    return Path(tempfile.gettempdir()) / "vector_indexer_tpu"
+
+
+def build(
+    xb: np.ndarray,
+    work_dir: Optional[str] = None,
+) -> VectorIndex:
+    """Build an index from an (n, d) float32 array; external_id = row index."""
+    xb = np.ascontiguousarray(xb, dtype=np.float32)
+    if xb.ndim != 2 or xb.shape[0] == 0:
+        raise ValueError("xb must be a non-empty (n, d) array")
+    wd = Path(work_dir) if work_dir else _default_work_dir()
+    cfg = (
+        VectorIndexerConfig(xb.shape[1])
+        .with_index_dir(wd / "index")
+        .with_shards_dir(wd / "shards")
+    )
+    os.makedirs(cfg.index_dir, exist_ok=True)
+    os.makedirs(cfg.shards_dir, exist_ok=True)
+    indexer = VectorIndexer(cfg).build_from_arrays(xb)
+    return VectorIndex(indexer)
+
+
+def load(index_dir: str, shards_dir: str, dim: int) -> VectorIndex:
+    cfg = (
+        VectorIndexerConfig(dim)
+        .with_index_dir(index_dir)
+        .with_shards_dir(shards_dir)
+    )
+    return VectorIndex(VectorIndexer.load(cfg))

@@ -29,6 +29,7 @@ import numpy as np
 
 from ..models.kmeans import run_kmeans_mini_batch
 from ..ops.distance import sq_norms
+from ..ops.gather import candidate_budget, packed_candidate_rows
 from ..ops.topk import topk_smallest
 from ..storage.layout import PostingLayout, build_layout
 from ..storage.vector_store import VectorStore
@@ -48,7 +49,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "n_probe", "list_window", "q_tile")
+    jax.jit, static_argnames=("k", "n_probe", "budget", "q_tile")
 )
 def _ivf_search_program(
     queries,  # (nq_pad, d) f32, nq_pad % q_tile == 0
@@ -61,12 +62,11 @@ def _ivf_search_program(
     *,
     k: int,
     n_probe: int,
-    list_window: int,
+    budget: int,
     q_tile: int,
 ):
     nq_pad, d = queries.shape
     pad_row = vectors.shape[0] - 1  # always a zero row (layout pads n+1..)
-    window_iota = jnp.arange(list_window, dtype=jnp.int32)
 
     def one_tile(qt):
         q_sq = sq_norms(qt)
@@ -81,13 +81,11 @@ def _ivf_search_program(
         dcoarse = q_sq[:, None] - 2.0 * cross + c_sq[None, :]
         _, probe = jax.lax.top_k(-dcoarse, n_probe)  # (q_tile, n_probe)
 
-        st = starts[probe]  # (q_tile, n_probe)
-        ln = lengths[probe]
-        rows = st[:, :, None] + window_iota[None, None, :]
-        valid = window_iota[None, None, :] < ln[:, :, None]
-        rows = jnp.where(valid, rows, pad_row)
-        rows_f = rows.reshape(q_tile, n_probe * list_window)
-        valid_f = valid.reshape(q_tile, n_probe * list_window)
+        # Packed-CSR candidate rows: budget scales with the SUM of probed
+        # list lengths, immune to single-cluster skew.
+        rows_f, valid_f = packed_candidate_rows(
+            starts[probe], lengths[probe], budget, pad_row
+        )
 
         cand = vectors[rows_f]  # (q_tile, C, d) HBM gather
         cross2 = jnp.einsum(
@@ -104,6 +102,84 @@ def _ivf_search_program(
     tiles = queries.reshape(nq_pad // q_tile, q_tile, d)
     dvals, ivals = jax.lax.map(one_tile, tiles)
     return dvals.reshape(nq_pad, k), ivals.reshape(nq_pad, k)
+
+
+def pick_q_tile(nq: int, budget: int, d: int, mem_cap_bytes: int = 1 << 29) -> int:
+    """Query-tile size so the (q_tile, C, d) candidate gather stays under
+    ~mem_cap bytes of live HBM (default 512 MB)."""
+    per_query = max(1, budget * d * 4)
+    qt = max(8, min(_QUERY_TILE, mem_cap_bytes // per_query))
+    qt = min(qt, _round_up(nq, 8))
+    return max(8, (qt // 8) * 8)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_probe", "q_tile"))
+def _ivf_search_dense_program(
+    queries,  # (nq_pad, d) f32, nq_pad % q_tile == 0
+    centroids_ord,  # (kc, d) — centroid table REORDERED to layout-run order
+    c_sq_ord,  # (kc,)
+    vectors,  # (n_pad, d) cluster-permuted
+    row_norms,  # (n_pad,)
+    run_starts,  # (kc,) int32 — run begin rows, ascending layout order
+    n_rows,  # () int32 — number of real rows
+    *,
+    k: int,
+    n_probe: int,
+    q_tile: int,
+):
+    """Masked dense path: full distance matmul over the cluster-sorted table,
+    with unprobed clusters masked out — same result set as the gather path,
+    but the MXU runs one large matmul instead of an HBM row gather. Wins for
+    large query batches (the table sweep is shared by the whole tile).
+
+    Gather-free masking: the centroid table is pre-reordered to match the
+    row layout, so "cluster is probed" is just ``coarse distance <= the
+    n_probe-th smallest`` per query, and the per-run membership deltas
+    scattered at run starts + prefix-summed along rows expand it to a row
+    mask (posting lists are contiguous runs). A take_along_axis formulation
+    measured ~10x slower on TPU.
+    """
+    nq_pad, d = queries.shape
+    kc = centroids_ord.shape[0]
+    n_pad = vectors.shape[0]
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
+
+    def one_tile(qt):
+        q_sq = sq_norms(qt)
+        cross = jnp.dot(
+            qt, centroids_ord.T, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        dcoarse = q_sq[:, None] - 2.0 * cross + c_sq_ord[None, :]
+        neg_v, _ = jax.lax.top_k(-dcoarse, n_probe)
+        thresh = -neg_v[:, -1:]  # n_probe-th smallest coarse distance
+        s_ord = (dcoarse <= thresh).astype(jnp.float32)  # (q_tile, kc)
+
+        delta = s_ord - jnp.concatenate(
+            [jnp.zeros((q_tile, 1), jnp.float32), s_ord[:, :-1]], axis=1
+        )
+        wall = jnp.zeros((q_tile, n_pad), jnp.float32)
+        wall = wall.at[:, run_starts].add(delta)
+        mask = jnp.cumsum(wall, axis=1) > 0.5
+        mask = mask & (row_iota < n_rows)
+
+        dist = (
+            q_sq[:, None]
+            - 2.0
+            * jnp.dot(
+                qt, vectors.T, precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            + row_norms[None, :]
+        )
+        dist = jnp.where(mask, jnp.maximum(dist, 0.0), jnp.inf)
+        dvals, rows = topk_smallest(dist, k)
+        rows = jnp.where(jnp.isfinite(dvals), rows, -1)
+        return dvals, rows
+
+    tiles = queries.reshape(nq_pad // q_tile, q_tile, d)
+    dvals, rows = jax.lax.map(one_tile, tiles)
+    return dvals.reshape(nq_pad, k), rows.reshape(nq_pad, k)
 
 
 class IvfIndex:
@@ -195,17 +271,52 @@ class IvfIndex:
             self._dev = (c, sq_norms(c))
         return self._dev
 
+    def _budget_for(self, n_probe: int) -> int:
+        """Static packed-gather budget for n_probe (cached; exact, never
+        truncates: sum of the n_probe longest posting lists)."""
+        cache = getattr(self, "_budget_cache", None)
+        if cache is None:
+            cache = self._budget_cache = {}
+        if n_probe not in cache:
+            cache[n_probe] = candidate_budget(
+                np.asarray(self.layout.lengths), n_probe
+            )
+        return cache[n_probe]
+
     def search_batch(
         self,
         queries: np.ndarray,
         k: int,
         n_probe: int,
+        method: str = "auto",
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Batched search: (nq, d) -> (D (nq, k) f32, I_internal (nq, k) i64).
 
         Missing slots (fewer than k candidates) are padded D=+inf, I=-1 —
         the bindings' (D, I) contract (bindings/python/src/lib.rs:179-187).
+
+        ``method``: 'gather' (packed-CSR candidate gather, best at small
+        batch), 'dense' (masked full matmul, best at large batch), or 'auto'.
+        Both produce identical result sets.
         """
+        dvals, irows = self.search_batch_device(queries, k, n_probe, method)
+        nq = queries.shape[0] if queries.ndim == 2 else 1
+        dvals = np.asarray(dvals)[:nq]
+        irows = np.asarray(irows)[:nq]
+        lay = self.layout
+        # Map layout rows -> internal ids on host (cheap: nq*k).
+        internal = np.where(irows >= 0, lay.perm[np.clip(irows, 0, lay.n - 1)], -1)
+        return dvals, internal.astype(np.int64)
+
+    def search_batch_device(
+        self,
+        queries: np.ndarray,
+        k: int,
+        n_probe: int,
+        method: str = "auto",
+    ):
+        """Device-side search returning jax arrays (D, layout_rows) of shape
+        (nq_pad, k) — no device->host transfer (bench/serving hot path)."""
         if self.layout is None or self.num_clusters == 0:
             raise RuntimeError("index is empty: fit or load it first")
         if k <= 0:
@@ -222,14 +333,43 @@ class IvfIndex:
             )
 
         n_probe = min(n_probe, self.num_clusters)
-        q_tile = min(_QUERY_TILE, _round_up(nq, 8))
+        lay = self.layout
+        if method == "auto":
+            # The dense matmul amortizes the whole table over the batch; the
+            # packed gather touches only probed rows. Pick by modeled bytes.
+            dense_cost = lay.n * d  # one table sweep, shared by the tile
+            gather_cost = nq * self._budget_for(n_probe) * d * 4  # 4x penalty
+            method = "dense" if dense_cost <= gather_cost else "gather"
+
+        centroids, c_sq = self._device_tables()
+        if method == "dense":
+            run_starts, centroids_ord, c_sq_ord = self._run_tables()
+            # Live per-query bytes: the (q_tile, n_pad) distance + mask planes.
+            q_tile = pick_q_tile(nq, lay.vectors.shape[0] * 4 // d, d)
+            nq_pad = _round_up(nq, q_tile)
+            qp = np.zeros((nq_pad, d), np.float32)
+            qp[:nq] = queries
+            return _ivf_search_dense_program(
+                jnp.asarray(qp),
+                centroids_ord,
+                c_sq_ord,
+                lay.vectors,
+                lay.row_norms,
+                run_starts,
+                jnp.int32(lay.n),
+                k=k,
+                n_probe=n_probe,
+                q_tile=q_tile,
+            )
+        if method != "gather":
+            raise ValueError(f"unknown search method: {method}")
+
+        budget = self._budget_for(n_probe)
+        q_tile = pick_q_tile(nq, budget, d)
         nq_pad = _round_up(nq, q_tile)
         qp = np.zeros((nq_pad, d), np.float32)
         qp[:nq] = queries
-
-        centroids, c_sq = self._device_tables()
-        lay = self.layout
-        dvals, irows = _ivf_search_program(
+        return _ivf_search_program(
             jnp.asarray(qp),
             centroids,
             c_sq,
@@ -239,14 +379,23 @@ class IvfIndex:
             lay.lengths,
             k=k,
             n_probe=n_probe,
-            list_window=max(1, lay.max_list_len),
+            budget=budget,
             q_tile=q_tile,
         )
-        dvals = np.asarray(dvals)[:nq]
-        irows = np.asarray(irows)[:nq]
-        # Map layout rows -> internal ids on host (cheap: nq*k).
-        internal = np.where(irows >= 0, lay.perm[np.clip(irows, 0, lay.n - 1)], -1)
-        return dvals, internal.astype(np.int64)
+
+    def _run_tables(self):
+        """(run_starts, centroids_ord, c_sq_ord): contiguous posting runs in
+        layout order, with the centroid table reordered to match."""
+        if getattr(self, "_runs", None) is None:
+            starts = np.asarray(self.layout.offsets)[:-1]
+            order = np.argsort(starts, kind="stable")
+            c_ord = jnp.asarray(self.centroids[order], jnp.float32)
+            self._runs = (
+                jnp.asarray(starts[order].astype(np.int32)),
+                c_ord,
+                sq_norms(c_ord),
+            )
+        return self._runs
 
     def search(
         self, query: np.ndarray, k: int, n_probe: int
@@ -267,14 +416,19 @@ class IvfIndex:
 
     def _vector_of(self, internal_id: int) -> np.ndarray:
         lay = self.layout
-        # perm maps layout row -> internal id; invert for payload fetch.
-        if not hasattr(self, "_perm_inv") or self._perm_inv is None or len(
-            self._perm_inv
-        ) != lay.n:
-            inv = np.empty(lay.n, np.int64)
+        # perm maps layout row -> internal id; invert for payload fetch. After
+        # a partial load (missing shard) internal ids can exceed lay.n, so the
+        # inverse is sized by the id space, not the row count.
+        if getattr(self, "_perm_inv", None) is None or self._perm_inv_rows != lay.n:
+            size = int(lay.perm.max()) + 1 if lay.n else 0
+            inv = np.full(size, -1, np.int64)
             inv[lay.perm] = np.arange(lay.n)
             self._perm_inv = inv
-        return np.asarray(lay.vectors[self._perm_inv[internal_id]])
+            self._perm_inv_rows = lay.n
+        row = self._perm_inv[internal_id]
+        if row < 0:
+            raise KeyError(f"internal id {internal_id} not present in layout")
+        return np.asarray(lay.vectors[row])
 
     # ------------------------------------------------------------------
     # Persistence (delegates to storage.persist)
