@@ -38,6 +38,7 @@ from ..utils.heuristics import (
     calculate_num_clusters,
     num_shards_for,
 )
+from ..utils.tracing import trace
 
 log = logging.getLogger("vector_indexer_tpu")
 
@@ -219,7 +220,11 @@ class IvfIndex:
         iters = max_iters if max_iters is not None else calculate_max_iterations(n)
         log.info("ivf.fit: n=%d dim=%d nlist=%d max_iters=%d", n, dim, k, iters)
 
-        kres = run_kmeans_mini_batch(data, k, iters, seed=seed)
+        with trace("fit.kmeans", n=n, k=k):
+            kres = run_kmeans_mini_batch(data, k, iters, seed=seed)
+        log.info(
+            "fit.kmeans: %d iterations, converged=%s", kres.iterations, kres.converged
+        )
         centroids = np.asarray(kres.centroids)
         labels = np.asarray(kres.labels).astype(np.int64)
 
@@ -229,9 +234,10 @@ class IvfIndex:
         if num_shards >= k:
             shard_labels_all = np.arange(k, dtype=np.int64) % num_shards
         else:
-            sres = run_kmeans_mini_batch(
-                centroids, num_shards, 100, seed=super_seed
-            )
+            with trace("fit.super_kmeans", k=k, shards=num_shards):
+                sres = run_kmeans_mini_batch(
+                    centroids, num_shards, 100, seed=super_seed
+                )
             shard_labels_all = np.asarray(sres.labels).astype(np.int64)
 
         # Filter empty posting lists; densify centroid ids (order-preserving).
@@ -254,7 +260,8 @@ class IvfIndex:
         # Lay clusters of the same shard contiguously so multi-chip sharding
         # (and shard files) slice contiguous row ranges.
         cluster_order = np.argsort(idx.centroids_to_shard, kind="stable")
-        idx.layout = build_layout(data, new_labels, len(keep), cluster_order)
+        with trace("fit.layout", n=n, clusters=len(keep)):
+            idx.layout = build_layout(data, new_labels, len(keep), cluster_order)
         return idx
 
     # ------------------------------------------------------------------

@@ -33,6 +33,7 @@ from .shard_format import (
     save_shard,
     shard_path,
 )
+from ..utils.tracing import trace
 
 log = logging.getLogger("vector_indexer_tpu")
 
@@ -160,17 +161,18 @@ def _stage_shards(idx, shards_dir, n_total: int) -> None:
     kc = idx.num_clusters
     dim = idx.dimension
     clusters: dict[int, ClusterData] = {}
-    for sid in range(idx.num_shards):
-        path = shard_path(shards_dir, sid)
-        try:
-            shard = load_shard_from_disk(path)
-            if shard.id != sid:
-                raise ShardFormatError(f"{path}: shard id mismatch")
-        except (ShardFormatError, OSError) as e:
-            log.warning("skipping shard %d: %s", sid, e)
-            continue
-        for cl in shard.clusters:
-            clusters[cl.centroid_id] = cl
+    with trace("load.stage_shards", shards=idx.num_shards):
+        for sid in range(idx.num_shards):
+            path = shard_path(shards_dir, sid)
+            try:
+                shard = load_shard_from_disk(path)
+                if shard.id != sid:
+                    raise ShardFormatError(f"{path}: shard id mismatch")
+            except (ShardFormatError, OSError) as e:
+                log.warning("skipping shard %d: %s", sid, e)
+                continue
+            for cl in shard.clusters:
+                clusters[cl.centroid_id] = cl
 
     # Cluster placement identical to build: grouped by shard (stable).
     cluster_order = np.argsort(idx.centroids_to_shard, kind="stable")
