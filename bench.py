@@ -79,20 +79,26 @@ def main() -> None:
     rows = []
     best_qps_at_target = 0.0
     best_row = None
-    for nprobe in nprobes:
-        if nprobe > index.nlist:
-            break
+    # IVF nprobe sweep + the flat (exhaustive) operating point.
+    points = [("auto", np_) for np_ in nprobes if np_ <= index.nlist]
+    points.append(("flat", index.nlist))
+    for method, nprobe in points:
         # Warm up / compile, and fetch once for recall scoring.
-        D, I = index.search_sync(xq, args.k, nprobe)
+        D, I = index.search_sync(xq, args.k, nprobe, method=method)
         # Timing loop (reference methodology: repeat the full query set until
         # min_test_duration, average). Dispatch is pipelined; each run's
         # completion is observed via a 4-byte result fetch, so timing measures
         # search throughput, not the tunnel's d2h bandwidth artifact.
+        # Barrier every PIPE runs: the tunnel's ~28 ms round-trip would
+        # otherwise dominate per-batch times; device execution is serial so
+        # the final fetch still bounds all queued runs.
+        PIPE = 8
         t0 = time.perf_counter()
         nrun = 0
         while True:
-            Ddev, _ = index.search_device(xq, args.k, nprobe)
-            nrun += 1
+            for _ in range(PIPE):
+                Ddev, _ = index.search_device(xq, args.k, nprobe, method=method)
+                nrun += 1
             _ = np.asarray(Ddev[:1, :1])  # tiny completion barrier
             elapsed = time.perf_counter() - t0
             if elapsed >= args.min_time:
@@ -107,11 +113,11 @@ def main() -> None:
             hit = (I[:, :rank] == gt[:, :1]).any(axis=1)
             recalls[f"r@{rank}"] = float(hit.mean())
 
-        row = dict(nprobe=nprobe, qps=qps, ms_per_query=per_query_ms,
-                   nrun=nrun, **recalls)
+        row = dict(nprobe=nprobe, method=method, qps=qps,
+                   ms_per_query=per_query_ms, nrun=nrun, **recalls)
         rows.append(row)
         print(
-            f"# nprobe={nprobe:3d} R@1={recalls.get('r@1', 0):.4f} "
+            f"# {method:4s} nprobe={nprobe:4d} R@1={recalls.get('r@1', 0):.4f} "
             f"R@10={recalls.get('r@10', 0):.4f} "
             f"R@100={recalls.get('r@100', 0):.4f} "
             f"{per_query_ms:.4f} ms/q {qps:,.0f} qps ({nrun} runs)",

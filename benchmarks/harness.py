@@ -1,0 +1,141 @@
+"""Evaluation methodology + report writing.
+
+Parity with the reference's eval_setting / save_results
+(bench_all_ivf.py:283-363, 488-535):
+  * timing: repeat the full query set until min_test_duration elapsed, then
+    average (ms/query, QPS, nrun) — here with pipelined device dispatch and
+    a 4-byte completion barrier per run so we time search, not the
+    environment's device->host transfer artifact;
+  * recall: R@rank = fraction of queries whose true NN (gt[:, 0]) appears in
+    the top-rank results, ranks 1/10/100 (bench_all_ivf.py:336-350);
+  * reports: JSON + Markdown tables.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+import time
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+log = logging.getLogger("vector_indexer_tpu")
+
+
+@dataclasses.dataclass
+class EvalResult:
+    nprobe: int
+    recalls: Dict[str, float]
+    ms_per_query: float
+    qps: float
+    nrun: int
+
+
+def recall_at(I: np.ndarray, gt: np.ndarray, rank: int) -> float:
+    """True-NN-in-top-rank recall definition (bench_all_ivf.py:336-350)."""
+    return float((I[:, :rank] == gt[:, :1]).any(axis=1).mean())
+
+
+def eval_setting(
+    search_host: Callable[[], np.ndarray],
+    search_device: Callable[[], object],
+    gt: np.ndarray,
+    nq: int,
+    k: int,
+    nprobe: int,
+    min_time: float = 3.0,
+) -> EvalResult:
+    """One sweep point: score recall from a host fetch, time device runs."""
+    I = search_host()
+    recalls = {
+        f"r@{rank}": recall_at(I, gt, rank) for rank in (1, 10, 100) if rank <= k
+    }
+
+    # Warm-up (compile) outside the timing loop.
+    D = search_device()
+    _ = np.asarray(D[:1, :1])
+
+    # Barrier every PIPE runs: device execution is serial, so the final 4-byte
+    # fetch bounds all queued runs without paying the host round-trip per run.
+    PIPE = 8
+    t0 = time.perf_counter()
+    nrun = 0
+    while True:
+        for _ in range(PIPE):
+            D = search_device()
+            nrun += 1
+        _ = np.asarray(D[:1, :1])  # completion barrier
+        elapsed = time.perf_counter() - t0
+        if elapsed >= min_time:
+            break
+    ms = elapsed * 1000.0 / (nrun * nq)
+    return EvalResult(nprobe, recalls, ms, 1000.0 / ms, nrun)
+
+
+def run_sweep(
+    index,
+    xq: np.ndarray,
+    gt: np.ndarray,
+    k: int,
+    nprobes: List[int],
+    min_time: float = 3.0,
+    method: str = "auto",
+) -> List[EvalResult]:
+    """nprobe sweep against a built VectorIndex (bindings handle)."""
+    results = []
+    core = index._indexer.index
+    for nprobe in nprobes:
+        if nprobe > index.nlist:
+            break
+
+        def search_host(nprobe=nprobe):
+            _, I = core.search_batch(xq, k, nprobe, method=method)
+            return np.where(I >= 0, I, -1)
+
+        def search_device(nprobe=nprobe):
+            D, _ = core.search_batch_device(xq, k, nprobe, method=method)
+            return D
+
+        r = eval_setting(
+            search_host, search_device, gt, len(xq), k, nprobe, min_time
+        )
+        results.append(r)
+        log.info(
+            "nprobe=%-4d %s  %.4f ms/q  %,.0f qps (%d runs)".replace(",", ""),
+            nprobe,
+            " ".join(f"{m}={v:.4f}" for m, v in r.recalls.items()),
+            r.ms_per_query,
+            r.qps,
+            r.nrun,
+        )
+    return results
+
+
+def save_results(
+    out_dir: str,
+    config: dict,
+    results: List[EvalResult],
+    extra: Optional[dict] = None,
+) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    payload = dict(
+        config=config,
+        results=[dataclasses.asdict(r) for r in results],
+        **(extra or {}),
+    )
+    with open(os.path.join(out_dir, "results.json"), "w") as f:
+        json.dump(payload, f, indent=2)
+    with open(os.path.join(out_dir, "results.md"), "w") as f:
+        f.write("| nprobe | R@1 | R@10 | R@100 | ms/query | QPS | runs |\n")
+        f.write("|---|---|---|---|---|---|---|\n")
+        for r in results:
+            f.write(
+                f"| {r.nprobe} | {r.recalls.get('r@1', float('nan')):.4f} | "
+                f"{r.recalls.get('r@10', float('nan')):.4f} | "
+                f"{r.recalls.get('r@100', float('nan')):.4f} | "
+                f"{r.ms_per_query:.4f} | {r.qps:,.0f} | {r.nrun} |\n"
+            )
+    log.info("results written to %s", out_dir)

@@ -1,0 +1,102 @@
+"""Benchmark CLI — reference-harness parity.
+
+Mirrors bench_all_ivf.py's CLI surface (defaults n=100k d=128 nq=1000 k=100
+nprobes=1..64 min_time=3.0 seed=42, bench_all_ivf.py:543-644) against the
+TPU backend:
+
+    python -m benchmarks.run --n 100000 --d 128 --nq 1000 --k 100
+    python -m benchmarks.run --xb sift_base.fvecs --xq sift_query.fvecs \
+        --gt sift_gt.ivecs --k 100 --out bench_results/sift1m
+
+Environment-variable plumbing (N, D, NQ, K, NPROBES, MIN_TEST_DURATION,
+SEED, XB_PATH, XQ_PATH, GT_PATH) matches the reference launcher
+(scripts/run_faiss_bench.sh:51-66).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def _env(name, default, cast):
+    v = os.environ.get(name)
+    return cast(v) if v not in (None, "") else default
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--n", type=int, default=_env("N", 100_000, int))
+    p.add_argument("--d", type=int, default=_env("D", 128, int))
+    p.add_argument("--nq", type=int, default=_env("NQ", 1_000, int))
+    p.add_argument("--k", type=int, default=_env("K", 100, int))
+    p.add_argument(
+        "--nprobes",
+        type=lambda s: [int(x) for x in s.split(",")],
+        default=_env("NPROBES", [1, 2, 4, 8, 16, 32, 64],
+                     lambda s: [int(x) for x in s.split(",")]),
+    )
+    p.add_argument(
+        "--min-time", type=float, default=_env("MIN_TEST_DURATION", 3.0, float)
+    )
+    p.add_argument("--seed", type=int, default=_env("SEED", 42, int))
+    p.add_argument("--xb", default=_env("XB_PATH", None, str))
+    p.add_argument("--xq", default=_env("XQ_PATH", None, str))
+    p.add_argument("--gt", default=_env("GT_PATH", None, str))
+    p.add_argument("--method", default="auto",
+                   choices=["auto", "dense", "dense_fast", "gather"])
+    p.add_argument("--work-dir", default="/tmp/vix_bench_cli")
+    p.add_argument("--out", default="bench_results/run")
+    args = p.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/vix_jax_cache_bench")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from vector_indexer_tpu import bindings
+    from vector_indexer_tpu.utils.tracing import enable_console_logging
+
+    from . import datasets, harness
+
+    enable_console_logging()
+
+    if args.xb:
+        xb, xq, gt = datasets.load_dataset(
+            args.xb, args.xq, args.gt, n=args.n, nq=args.nq, k=args.k
+        )
+    else:
+        xb, xq = datasets.synthetic(args.n, args.d, args.nq, args.seed)
+        gt = datasets.compute_ground_truth(xb, xq, args.k)
+
+    t0 = time.perf_counter()
+    index = bindings.build(xb, work_dir=args.work_dir)
+    build_s = time.perf_counter() - t0
+
+    results = harness.run_sweep(
+        index, xq, gt, args.k, args.nprobes, args.min_time, method=args.method
+    )
+    harness.save_results(
+        args.out,
+        config=dict(
+            n=xb.shape[0], d=xb.shape[1], nq=xq.shape[0], k=args.k,
+            seed=args.seed, nlist=index.nlist, method=args.method,
+            backend="vector_indexer_tpu",
+        ),
+        results=results,
+        extra=dict(build_seconds=build_s),
+    )
+
+    at_target = [r for r in results if r.recalls.get("r@10", 0) >= 0.95]
+    best = max(at_target or results, key=lambda r: r.qps)
+    print(
+        f"best: nprobe={best.nprobe} R@10={best.recalls.get('r@10', 0):.4f} "
+        f"{best.qps:,.0f} qps; build {build_s:.1f}s"
+    )
+
+
+if __name__ == "__main__":
+    main()

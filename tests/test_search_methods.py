@@ -1,0 +1,57 @@
+"""Cross-validation of the three batched search paths (gather / dense /
+dense_fast): identical or near-identical result sets, exact distances."""
+
+import numpy as np
+import pytest
+
+from conftest import make_gaussian_clusters
+from vector_indexer_tpu.index import IvfIndex
+from vector_indexer_tpu.storage import VectorStore
+
+
+@pytest.fixture(scope="module")
+def built():
+    data, _, _ = make_gaussian_clusters(10, 150, 24, spread=0.4, separation=8.0)
+    store = VectorStore(
+        external_ids=np.arange(len(data), dtype=np.uint64), vectors=data
+    )
+    return IvfIndex.fit(store, seed=42), data
+
+
+def _run(idx, q, method, n_probe=8):
+    D, I = idx.search_batch(q, k=10, n_probe=n_probe, method=method)
+    return D, I
+
+
+def test_gather_vs_dense_identical_sets(built):
+    idx, data = built
+    q = data[:64]
+    Dg, Ig = _run(idx, q, "gather")
+    Dd, Id = _run(idx, q, "dense")
+    np.testing.assert_allclose(Dg, Dd, rtol=1e-3, atol=5e-4)
+    for a, b in zip(Ig, Id):
+        assert set(a.tolist()) == set(b.tolist())
+
+
+def test_dense_exact_matches_dense_small_n(built):
+    # Below the approx-selection threshold 'dense' and 'dense_exact' are the
+    # same program; both must agree with gather.
+    idx, data = built
+    q = data[:64]
+    Dd, Id = _run(idx, q, "dense")
+    De, Ie = _run(idx, q, "dense_exact")
+    np.testing.assert_array_equal(Id, Ie)
+    np.testing.assert_allclose(Dd, De)
+
+
+def test_dense_self_hit(built):
+    idx, data = built
+    D, I = _run(idx, data[:16], "dense")
+    assert (I[:, 0] == np.arange(16)).all()
+    assert (D[:, 0] < 1e-3).all()
+
+
+def test_unknown_method_errors(built):
+    idx, data = built
+    with pytest.raises(ValueError, match="unknown search method"):
+        idx.search_batch(data[:2], k=1, n_probe=1, method="nope")

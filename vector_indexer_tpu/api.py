@@ -202,7 +202,11 @@ class VectorIndexer:
         )
 
     def search_batch(
-        self, queries: np.ndarray, k: Optional[int] = None, n_probe: Optional[int] = None
+        self,
+        queries: np.ndarray,
+        k: Optional[int] = None,
+        n_probe: Optional[int] = None,
+        method: str = "auto",
     ):
         """Columnar batched search -> (D (nq,k) f32, I (nq,k) external ids i64,
         padded with +inf / -1). The TPU-native primary query path."""
@@ -211,7 +215,7 @@ class VectorIndexer:
             n_probe if n_probe is not None else self.cfg.default_n_probe,
             self.cfg.max_n_probe,
         )
-        D, internal = self.index.search_batch(queries, k, n_probe)
+        D, internal = self.index.search_batch(queries, k, n_probe, method=method)
         ext = np.where(
             internal >= 0,
             self.index.external_ids[np.clip(internal, 0, None)].astype(np.int64),

@@ -50,13 +50,13 @@ class VectorIndex:
         return self._indexer.index.num_clusters
 
     def search_sync(
-        self, xq: np.ndarray, k: int, n_probe: int
+        self, xq: np.ndarray, k: int, n_probe: int, method: str = "auto"
     ) -> Tuple[np.ndarray, np.ndarray]:
         """(nq, d) -> (D (nq, k) f32, I (nq, k) i64 external ids; pads +inf/-1)."""
         xq = np.ascontiguousarray(xq, dtype=np.float32)
         if xq.ndim == 1:
             xq = xq[None, :]
-        return self._indexer.search_batch(xq, k=k, n_probe=n_probe)
+        return self._indexer.search_batch(xq, k=k, n_probe=n_probe, method=method)
 
     # Back-compat alias for the reference's blocking entry point name.
     search_blocking = search_sync
