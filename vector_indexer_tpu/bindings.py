@@ -63,16 +63,27 @@ class VectorIndex:
 
     def search_device(self, xq, k: int, n_probe: int, method: str = "auto"):
         """Device-resident search: returns (D, layout_rows) as jax arrays with
-        NO device->host transfer — the serving/bench hot path. Use
-        ``search_sync`` for host numpy results with external ids."""
-        xq = np.ascontiguousarray(xq, dtype=np.float32)
-        if xq.ndim == 1:
-            xq = xq[None, :]
+        NO device->host transfer — the serving/bench hot path. Accepts
+        pre-staged device queries (see ``stage_queries``); use ``search_sync``
+        for host numpy results with external ids."""
+        import jax
+
+        if not isinstance(xq, jax.Array):
+            xq = np.ascontiguousarray(xq, dtype=np.float32)
+            if xq.ndim == 1:
+                xq = xq[None, :]
         idx = self._indexer.index
         cfg = self._indexer.cfg
         return idx.search_batch_device(
             xq, min(k, cfg.max_k), min(n_probe, cfg.max_n_probe), method
         )
+
+    def stage_queries(self, xq):
+        """Transfer a query batch to device HBM once; pass the handle to
+        ``search_device`` to keep repeated searches free of h2d traffic."""
+        import jax.numpy as jnp
+
+        return jnp.asarray(np.ascontiguousarray(xq, dtype=np.float32))
 
     def rows_to_external(self, rows) -> np.ndarray:
         """Map device layout rows (from search_device) to external ids."""

@@ -390,7 +390,9 @@ class IvfIndex:
             raise ValueError("k must be > 0")
         if n_probe <= 0:
             raise ValueError("n_probe must be > 0")
-        queries = np.ascontiguousarray(queries, dtype=np.float32)
+        staged = isinstance(queries, jax.Array)
+        if not staged:
+            queries = np.ascontiguousarray(queries, dtype=np.float32)
         if queries.ndim == 1:
             queries = queries[None, :]
         nq, d = queries.shape
@@ -398,6 +400,16 @@ class IvfIndex:
             raise ValueError(
                 f"query dimension mismatch: expected {self.dimension}, got {d}"
             )
+
+        def pad_to(q_tile):
+            # Pre-staged device queries (serving hot loop) pad on device; the
+            # numpy path pads host-side before the single h2d transfer.
+            nq_pad = _round_up(nq, q_tile)
+            if staged:
+                return jnp.pad(queries, ((0, nq_pad - nq), (0, 0)))
+            qp = np.zeros((nq_pad, d), np.float32)
+            qp[:nq] = queries
+            return jnp.asarray(qp)
 
         n_probe = min(n_probe, self.num_clusters)
         lay = self.layout
@@ -411,11 +423,8 @@ class IvfIndex:
         centroids, c_sq = self._device_tables()
         if method in ("flat", "flat_exact"):
             q_tile = pick_q_tile(nq, lay.vectors.shape[0] * 4 // d, d)
-            nq_pad = _round_up(nq, q_tile)
-            qp = np.zeros((nq_pad, d), np.float32)
-            qp[:nq] = queries
             return _flat_search_program(
-                jnp.asarray(qp),
+                pad_to(q_tile),
                 lay.vectors,
                 lay.row_norms,
                 jnp.int32(lay.n),
@@ -427,14 +436,11 @@ class IvfIndex:
             run_starts, centroids_ord, c_sq_ord = self._run_tables()
             # Live per-query bytes: the (q_tile, n_pad) distance + mask planes.
             q_tile = pick_q_tile(nq, lay.vectors.shape[0] * 4 // d, d)
-            nq_pad = _round_up(nq, q_tile)
-            qp = np.zeros((nq_pad, d), np.float32)
-            qp[:nq] = queries
             # Exact top-k for small corpora (cheap anyway); hardware
             # approx selection where it pays.
             approx = method == "dense" and lay.n > 50_000
             return _ivf_search_dense_program(
-                jnp.asarray(qp),
+                pad_to(q_tile),
                 centroids_ord,
                 c_sq_ord,
                 lay.vectors,
@@ -451,11 +457,8 @@ class IvfIndex:
 
         budget = self._budget_for(n_probe)
         q_tile = pick_q_tile(nq, budget, d)
-        nq_pad = _round_up(nq, q_tile)
-        qp = np.zeros((nq_pad, d), np.float32)
-        qp[:nq] = queries
         return _ivf_search_program(
-            jnp.asarray(qp),
+            pad_to(q_tile),
             centroids,
             c_sq,
             lay.vectors,

@@ -1,0 +1,125 @@
+"""Fused nearest-centroid assignment kernel.
+
+The hottest build-time op (the reference's assign_points_simd_parallel,
+/root/reference/src/kmeans.rs:445-470, is its CPU twin): for every point
+find argmin_c ||x - c||^2. The XLA formulation materializes per-chunk
+(chunk, k) distance tiles in HBM between the matmul and the argmin; this
+kernel keeps each (TQ, TK) tile in VMEM, runs the cross-term matmul on the
+MXU, and folds a running (min, argmin) across centroid tiles — zero HBM
+traffic for distances.
+
+Because ||x||^2 is constant per row it cancels from the argmin entirely; the
+kernel ranks by ``||c||^2 - 2 x.c`` and the caller reconstructs the true
+squared distance for the winner only.
+
+Grid: (point tiles, centroid tiles), centroid axis innermost so the output
+block for a point tile is revisited and accumulated sequentially.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TQ = 256  # point-tile rows
+_TK = 512  # centroid-tile columns
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def pallas_supported() -> bool:
+    """Mosaic kernels need a real TPU backend (tests use interpret mode)."""
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+def _kernel(x_ref, ct_ref, csq_ref, bestd_ref, besti_ref):
+    j = pl.program_id(1)
+
+    # (TQ, TK) score tile on the MXU: ||c||^2 - 2 x.c  (x_sq cancels).
+    cross = jnp.dot(
+        x_ref[:], ct_ref[:], preferred_element_type=jnp.float32
+    )  # ct is pre-transposed (d, TK)
+    score = csq_ref[:] - 2.0 * cross
+
+    tile_min = jnp.min(score, axis=1, keepdims=True)  # (TQ, 1)
+    tile_arg = (
+        jnp.argmin(score, axis=1).astype(jnp.int32)[:, None] + j * score.shape[1]
+    )
+
+    @pl.when(j == 0)
+    def _():
+        bestd_ref[:] = tile_min
+        besti_ref[:] = tile_arg
+
+    @pl.when(j > 0)
+    def _():
+        better = tile_min < bestd_ref[:]
+        bestd_ref[:] = jnp.where(better, tile_min, bestd_ref[:])
+        besti_ref[:] = jnp.where(better, tile_arg, besti_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _assign_call(xp, ctp, csqp, interpret=False):
+    n_pad, d_pad = xp.shape
+    k_pad = ctp.shape[1]
+    grid = (n_pad // _TQ, k_pad // _TK)
+    bestd, besti = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_TQ, d_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_pad, _TK), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TK), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_TQ, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TQ, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(xp, ctp, csqp)
+    return bestd[:, 0], besti[:, 0]
+
+
+def assign_argmin_pallas(x, centroids, interpret: bool | None = None):
+    """labels, sq_dists = fused nearest-centroid assignment.
+
+    x: (n, d) f32, centroids: (k, d) f32. Pads n to 256, k to 512, d to 128;
+    padded centroids get +inf scores so they never win.
+    """
+    x = jnp.asarray(x, jnp.float32)
+    centroids = jnp.asarray(centroids, jnp.float32)
+    n, d = x.shape
+    k = centroids.shape[0]
+    if interpret is None:
+        interpret = not pallas_supported()
+
+    n_pad = _round_up(max(n, 1), _TQ)
+    k_pad = _round_up(max(k, 1), _TK)
+    d_pad = _round_up(max(d, 1), 128)
+
+    xp = jnp.zeros((n_pad, d_pad), jnp.float32).at[:n, :d].set(x)
+    cp = jnp.zeros((k_pad, d_pad), jnp.float32).at[:k, :d].set(centroids)
+    c_sq = jnp.sum(cp * cp, axis=1)
+    # Padded centroids must never win the argmin.
+    c_sq = c_sq.at[k:].set(jnp.inf)
+    csqp = c_sq[None, :]
+
+    bestd, besti = _assign_call(xp, cp.T, csqp, interpret=bool(interpret))
+    labels = besti[:n]
+    x_sq = jnp.sum(x * x, axis=1)
+    dists = jnp.maximum(bestd[:n] + x_sq, 0.0)  # re-add the cancelled ||x||^2
+    return labels, dists
