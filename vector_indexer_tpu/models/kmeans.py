@@ -68,9 +68,17 @@ def _check_data(data) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _kmeans_pp_exact(key, data: jax.Array, k: int) -> jax.Array:
-    """Exact k-means++ on-device: lax.fori_loop over k D^2-weighted draws."""
+@functools.partial(jax.jit, static_argnames=("k", "draw_block"))
+def _kmeans_pp_exact(key, data: jax.Array, k: int, draw_block: int = 1) -> jax.Array:
+    """k-means++ on-device: fori_loop over D^2-weighted draws.
+
+    ``draw_block`` > 1 draws B centers per step (Gumbel top-B over the D^2
+    weights, i.e. a without-replacement batch whose weights are only updated
+    between blocks) — the batched-greedy k-means++ variant. Sequential exact
+    (B=1) needs k dependent steps, hostile to a 4000-cluster init on any
+    accelerator; B=64 cuts the critical path 64x with negligible quality
+    loss (the stability/recovery tests are the contract).
+    """
     n, d = data.shape
     key0, key_first = jax.random.split(key)
     first = jax.random.randint(key_first, (), 0, n)
@@ -78,29 +86,39 @@ def _kmeans_pp_exact(key, data: jax.Array, k: int) -> jax.Array:
 
     x_sq = sq_norms(data)
 
-    def dist_to(c):
-        # (n,) squared distances to a single centroid, via the expansion.
-        cross = data @ c
-        return jnp.maximum(x_sq - 2.0 * cross + jnp.sum(c * c), 0.0)
+    def dist_to_block(cblk):
+        # (n,) min squared distance to any of the B new centroids.
+        cross = jnp.dot(
+            data, cblk.T, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (n, B)
+        dd = x_sq[:, None] - 2.0 * cross + jnp.sum(cblk * cblk, axis=1)[None, :]
+        return jnp.maximum(jnp.min(dd, axis=1), 0.0)
 
-    min_d0 = dist_to(data[first])
+    min_d0 = dist_to_block(data[first][None, :])
+    num_blocks = -(-(k - 1) // draw_block)
 
     def body(i, carry):
         centroids, min_d = carry
         ki = jax.random.fold_in(key0, i)
         total = jnp.sum(min_d)
-        # D^2-weighted draw via categorical on log weights; all-zero weights
-        # (identical points) degrade to a uniform draw.
+        # D^2-weighted without-replacement block draw: Gumbel top-B on log
+        # weights; all-zero weights (identical points) degrade to uniform.
         logits = jnp.where(min_d > 0, jnp.log(jnp.maximum(min_d, 1e-30)), -jnp.inf)
         logits = jnp.where(total > 0, logits, jnp.zeros_like(logits))
-        idx = jax.random.categorical(ki, logits)
-        c = data[idx]
-        centroids = centroids.at[i].set(c)
-        min_d = jnp.minimum(min_d, dist_to(c))
+        gumbel = jax.random.gumbel(ki, (n,))
+        _, idx = jax.lax.top_k(logits + gumbel, draw_block)
+        cblk = data[idx]  # (B, d)
+        start = 1 + i * draw_block
+        centroids = jax.lax.dynamic_update_slice(centroids, cblk, (start, 0))
+        min_d = jnp.minimum(min_d, dist_to_block(cblk))
         return centroids, min_d
 
-    centroids, _ = jax.lax.fori_loop(1, k, body, (centroids0, min_d0))
-    return centroids
+    centroids, _ = jax.lax.fori_loop(0, num_blocks, body, (centroids0, min_d0))
+    # dynamic_update_slice clamps at the tail: the final block may overwrite
+    # rows before k; rows [k_pad_tail] stay consistent because start is
+    # clamped to k - draw_block, rewriting some rows with valid draws.
+    return centroids[:k]
 
 
 def kmeans_plus_plus_init(
@@ -129,8 +147,15 @@ def kmeans_plus_plus_init(
         key, sub = jax.random.split(key)
         pick = jax.random.choice(sub, n, (sample_threshold,), replace=False)
         data = data[pick]
+        n = sample_threshold
 
-    return _kmeans_pp_exact(key, data, k)
+    # Sequential exact draws for small k; batched-greedy blocks for large k
+    # (the init would otherwise serialize k dependent device steps).
+    if k <= 128:
+        draw_block = 1
+    else:
+        draw_block = max(1, min(64, k - 1, n))
+    return _kmeans_pp_exact(key, data, k, draw_block=draw_block)
 
 
 # ---------------------------------------------------------------------------
@@ -371,8 +396,14 @@ def _mini_batch_loop(data, init_centroids, key, k, max_iters, tol, batch_size):
         centroids, cluster_counts, key, it, _, _ = carry
         key, ksamp, krep = jax.random.split(key, 3)
 
-        # Sample without replacement (sample_batch, kmeans.rs:722-726).
-        idx = jax.random.choice(ksamp, n, (batch_size,), replace=False)
+        # Sample the batch (sample_batch, kmeans.rs:722-726). Strict
+        # without-replacement needs an O(n) permutation per iteration; when
+        # the corpus dwarfs the batch, collisions are negligible and plain
+        # randint draws keep the step O(batch).
+        if n >= 16 * batch_size:
+            idx = jax.random.randint(ksamp, (batch_size,), 0, n)
+        else:
+            idx = jax.random.choice(ksamp, n, (batch_size,), replace=False)
         batch = data[idx]
 
         dmat = pairwise_sq_l2(batch, centroids)
