@@ -1,0 +1,160 @@
+"""IVF posting-list gather+distance kernel (range-DMA based).
+
+The TPU-native descendant of the reference's io_uring selective cluster-block
+reads (/root/reference/src/shards.rs:255-272): each probed posting list is
+one CONTIGUOUS row range of the HBM layout, so the kernel pulls it with
+chunked async DMAs (HBM -> VMEM) — bulk sequential transfers instead of the
+per-row gather XLA emits for ``vectors[rows]`` (measured ~8 GB/s effective;
+contiguous DMA streams at full HBM bandwidth). Distances are computed on the
+MXU against the query tile and written into the query's packed candidate
+slots; top-k selection runs outside on the (nq, budget) result.
+
+Grid: (queries, probes). Per program: one query row + one probed cluster.
+Scalar-prefetched (starts, lengths, slot offsets) drive the DMA addressing.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_DMA_CHUNK = 512  # rows per sub-DMA; conditional chunks skip past len
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _chunk_for(max_len: int) -> int:
+    return min(_DMA_CHUNK, _round_up(max(max_len, 8), 8))
+
+
+def _kernel_factory(max_len_pad: int, d: int, budget_pad: int, chunk: int):
+    nchunk = max_len_pad // chunk
+
+    def kernel(
+        starts_ref,  # (nq, p) int32  [scalar prefetch]
+        offs_ref,  # (nq, p) int32 — exclusive prefix sums of lengths
+        lens_ref,  # (nq, p) int32
+        q_ref,  # (1, d) VMEM — this query
+        vec_ref,  # (n_pad, d) ANY/HBM — full table
+        out_d_ref,  # (1, budget_pad) VMEM — packed distances (revisited)
+        out_r_ref,  # (1, budget_pad) VMEM — packed rows (revisited)
+        scratch,  # (max_len_pad, d) VMEM
+        sems,  # DMA semaphores (nchunk,)
+    ):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            out_d_ref[:] = jnp.full_like(out_d_ref, jnp.inf)
+            out_r_ref[:] = jnp.full_like(out_r_ref, -1)
+
+        start = starts_ref[i, j]
+        ln = lens_ref[i, j]
+        off = offs_ref[i, j]
+
+        def dma(c):
+            return pltpu.make_async_copy(
+                vec_ref.at[pl.ds(start + c * chunk, chunk), :],
+                scratch.at[pl.ds(c * chunk, chunk), :],
+                sems.at[c],
+            )
+
+        # Start only the chunks that cover [0, ln); table is tail-padded so
+        # a full chunk read past the list end is always in bounds.
+        for c in range(nchunk):
+            @pl.when(c * chunk < ln)
+            def _(c=c):
+                dma(c).start()
+
+        for c in range(nchunk):
+            @pl.when(c * chunk < ln)
+            def _(c=c):
+                dma(c).wait()
+
+        q = q_ref[:]  # (1, d)
+        x = scratch[:]  # (max_len_pad, d)
+        cross = jax.lax.dot_general(
+            x, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )[:, 0]  # (max_len_pad,)
+        norms = jnp.sum(x * x, axis=1)
+        q_sq = jnp.sum(q * q)
+        dist = jnp.maximum(q_sq - 2.0 * cross + norms, 0.0)
+
+        idx = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], 1), 0)[:, 0]
+        valid = idx < ln
+        dist = jnp.where(valid, dist, jnp.inf)
+        rows = jnp.where(valid, start + idx, -1)
+        # Write this probe's packed slot window; tail beyond ln is inf/-1 and
+        # is rewritten by later probes (ascending offsets), the global tail
+        # stays at the j==0 initialization.
+        out_d_ref[0, pl.ds(off, x.shape[0])] = dist
+        out_r_ref[0, pl.ds(off, x.shape[0])] = rows
+
+    return kernel, nchunk
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_len", "budget", "interpret")
+)
+def ivf_gather_distances(
+    queries,  # (nq, d) f32
+    vectors,  # (n_pad, d) f32, tail-padded by >= max_len rows
+    starts,  # (nq, p) int32 — probed cluster start rows
+    lengths,  # (nq, p) int32
+    *,
+    max_len: int,
+    budget: int,
+    interpret: bool = False,
+):
+    """-> (dist (nq, budget) f32 inf-padded, rows (nq, budget) int32 -1-padded).
+
+    Packed per-query candidate distances for the probed posting lists, in
+    nearest-centroid probe order.
+    """
+    nq, d = queries.shape
+    p = starts.shape[1]
+    chunk = _chunk_for(max_len)
+    max_len_pad = _round_up(max(max_len, 8), chunk)
+    budget_pad = _round_up(budget + max_len_pad, 128)
+
+    offs = jnp.cumsum(lengths, axis=1) - lengths  # exclusive prefix sums
+
+    kernel, nchunk = _kernel_factory(max_len_pad, d, budget_pad, chunk)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nq, p),
+        in_specs=[
+            pl.BlockSpec((1, d), lambda i, j, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, budget_pad), lambda i, j, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, budget_pad), lambda i, j, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((max_len_pad, d), jnp.float32),
+            pltpu.SemaphoreType.DMA((nchunk,)),
+        ],
+    )
+    dist, rows = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nq, budget_pad), jnp.float32),
+            jax.ShapeDtypeStruct((nq, budget_pad), jnp.int32),
+        ],
+        interpret=interpret,
+    )(starts.astype(jnp.int32), offs.astype(jnp.int32),
+      lengths.astype(jnp.int32), queries, vectors)
+    return dist[:, :budget], rows[:, :budget]

@@ -85,7 +85,12 @@ def build_layout(
     csr[:-1] = starts
     csr[-1] = n  # sentinel; per-cluster ranges use (starts, lengths)
 
-    n_pad = _round_up(n + 1, 8)
+    # Tail padding lets range-DMA kernels read a full static chunked window
+    # (<= round_up(max_list_len, 512) rows) from any posting-list start
+    # without bounds clamping.
+    max_len = int(counts.max()) if num_clusters > 0 and n > 0 else 0
+    tail = _round_up(max(max_len, 1), 512) if max_len else 1
+    n_pad = _round_up(n + tail + 1, 8)
     padded = np.zeros((n_pad, d), dtype=np.float32)
     padded[:n] = sorted_vecs
     norms = np.zeros(n_pad, dtype=np.float32)
@@ -99,7 +104,7 @@ def build_layout(
         lengths=dev(lengths),
         perm=perm,
         n=n,
-        max_list_len=int(counts.max()) if num_clusters > 0 and n > 0 else 0,
+        max_list_len=max_len,
     )
 
 

@@ -200,7 +200,9 @@ def _stage_shards(idx, shards_dir, n_total: int) -> None:
         allvecs = np.zeros((0, dim), np.float32)
         perm = np.zeros(0, np.int64)
 
-    n_pad = -(-(n + 1) // 8) * 8
+    max_len = int(lengths.max()) if kc else 0
+    tail = (-(-max(max_len, 1) // 512) * 512) if max_len else 1
+    n_pad = -(-(n + tail + 1) // 8) * 8
     padded = np.zeros((n_pad, dim), np.float32)
     padded[:n] = allvecs
     norms = np.zeros(n_pad, np.float32)
@@ -217,7 +219,7 @@ def _stage_shards(idx, shards_dir, n_total: int) -> None:
         lengths=jnp.asarray(lengths),
         perm=perm,
         n=n,
-        max_list_len=int(lengths.max()) if kc else 0,
+        max_list_len=max_len,
     )
 
     # Record columns indexed by internal id; internal ids are dense 0..n_total.
