@@ -7,20 +7,21 @@ import pytest
 from vector_indexer_tpu.ops.pallas.ivf_gather import ivf_gather_distances
 
 
-def _reference(queries, vectors, starts, lengths, budget):
+def _reference(queries, vectors, starts, lengths, width):
+    # Probe j's slots start at sum of round_up(len, 128) over earlier probes
+    # (the kernel's lane-aligned packing); holes stay inf/-1.
     nq = queries.shape[0]
-    dist = np.full((nq, budget), np.inf, np.float32)
-    rows = np.full((nq, budget), -1, np.int32)
+    dist = np.full((nq, width), np.inf, np.float32)
+    rows = np.full((nq, width), -1, np.int32)
     for q in range(nq):
         slot = 0
         for s, ln in zip(starts[q], lengths[q]):
-            for r in range(s, s + ln):
-                if slot >= budget:
-                    break
+            for i in range(ln):
+                r = s + i
                 diff = queries[q] - vectors[r]
-                dist[q, slot] = (diff * diff).sum()
-                rows[q, slot] = r
-                slot += 1
+                dist[q, slot + i] = (diff * diff).sum()
+                rows[q, slot + i] = r
+            slot += -(-ln // 128) * 128
     return dist, rows
 
 
@@ -38,8 +39,8 @@ def test_gather_kernel_matches_reference(rng):
         jnp.asarray(starts), jnp.asarray(lengths),
         max_len=64, budget=budget, interpret=True,
     )
-    want_d, want_r = _reference(queries, vectors, starts, lengths, budget)
     got_d, got_r = np.asarray(dist), np.asarray(rows)
+    want_d, want_r = _reference(queries, vectors, starts, lengths, got_d.shape[1])
     np.testing.assert_array_equal(got_r, want_r)
     finite = np.isfinite(want_d)
     np.testing.assert_allclose(got_d[finite], want_d[finite], rtol=1e-4, atol=1e-4)

@@ -55,3 +55,13 @@ def test_unknown_method_errors(built):
     idx, data = built
     with pytest.raises(ValueError, match="unknown search method"):
         idx.search_batch(data[:2], k=1, n_probe=1, method="nope")
+
+
+def test_gather_dma_matches_gather(built):
+    # Range-DMA Pallas kernel path (interpret mode on CPU).
+    idx, data = built
+    Dg, Ig = _run(idx, data[:8], "gather")
+    Dd, Id = _run(idx, data[:8], "gather_dma")
+    for a, b in zip(Ig, Id):
+        assert set(a.tolist()) == set(b.tolist())
+    np.testing.assert_allclose(np.sort(Dg, 1), np.sort(Dd, 1), rtol=1e-4, atol=1e-4)

@@ -269,6 +269,7 @@ class IvfIndex:
         seed: int = 42,
         nlist: Optional[int] = None,
         max_iters: Optional[int] = None,
+        refine_iters: int = 2,
     ) -> "IvfIndex":
         n = len(store)
         if n == 0:
@@ -281,7 +282,9 @@ class IvfIndex:
         log.info("ivf.fit: n=%d dim=%d nlist=%d max_iters=%d", n, dim, k, iters)
 
         with trace("fit.kmeans", n=n, k=k):
-            kres = run_kmeans_mini_batch(data, k, iters, seed=seed)
+            kres = run_kmeans_mini_batch(
+                data, k, iters, seed=seed, refine_iters=refine_iters
+            )
         log.info(
             "fit.kmeans: %d iterations, converged=%s", kres.iterations, kres.converged
         )
@@ -452,6 +455,35 @@ class IvfIndex:
                 q_tile=q_tile,
                 approx=approx,
             )
+        if method == "gather_dma":
+            # Range-DMA Pallas kernel: one contiguous HBM->VMEM DMA per
+            # probed posting list (the hardware analogue of the reference's
+            # io_uring cluster-block reads, shards.rs:255-272). Wins over the
+            # XLA row-gather at moderate batch; experimental default-off.
+            from ..ops.pallas.ivf_gather import ivf_gather_distances
+
+            centroids, c_sq = self._device_tables()
+            qdev = pad_to(8)
+            budget = min(self._budget_for(n_probe), 32768)
+            dcoarse = (
+                sq_norms(qdev)[:, None]
+                - 2.0 * jnp.dot(qdev, centroids.T,
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32)
+                + c_sq[None, :]
+            )
+            probe = jax.lax.top_k(-dcoarse, n_probe)[1]
+            starts = lay.offsets[:-1][probe]
+            lens = lay.lengths[probe]
+            dist, rows = ivf_gather_distances(
+                qdev, lay.vectors, starts, lens,
+                max_len=max(1, lay.max_list_len), budget=budget,
+                interpret=jax.default_backend() == "cpu",
+            )
+            dvals, ci = topk_smallest(dist, k)
+            rsel = jnp.take_along_axis(rows, jnp.maximum(ci, 0), axis=1)
+            rsel = jnp.where((ci >= 0) & jnp.isfinite(dvals), rsel, -1)
+            return dvals, rsel
         if method != "gather":
             raise ValueError(f"unknown search method: {method}")
 

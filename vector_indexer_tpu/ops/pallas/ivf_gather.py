@@ -34,6 +34,10 @@ def _chunk_for(max_len: int) -> int:
     return min(_DMA_CHUNK, _round_up(max(max_len, 8), 8))
 
 
+def _round_up_arr(x, m):
+    return ((x + m - 1) // m) * m
+
+
 def _kernel_factory(max_len_pad: int, d: int, budget_pad: int, chunk: int):
     nchunk = max_len_pad // chunk
 
@@ -41,10 +45,10 @@ def _kernel_factory(max_len_pad: int, d: int, budget_pad: int, chunk: int):
         starts_ref,  # (nq, p) int32  [scalar prefetch]
         offs_ref,  # (nq, p) int32 — exclusive prefix sums of lengths
         lens_ref,  # (nq, p) int32
-        q_ref,  # (1, d) VMEM — this query
+        q_ref,  # (1, 1, d) VMEM — this query
         vec_ref,  # (n_pad, d) ANY/HBM — full table
-        out_d_ref,  # (1, budget_pad) VMEM — packed distances (revisited)
-        out_r_ref,  # (1, budget_pad) VMEM — packed rows (revisited)
+        out_d_ref,  # (1, 1, budget_pad) VMEM — packed distances (revisited)
+        out_r_ref,  # (1, 1, budget_pad) VMEM — packed rows (revisited)
         scratch,  # (max_len_pad, d) VMEM
         sems,  # DMA semaphores (nchunk,)
     ):
@@ -58,7 +62,11 @@ def _kernel_factory(max_len_pad: int, d: int, budget_pad: int, chunk: int):
 
         start = starts_ref[i, j]
         ln = lens_ref[i, j]
-        off = offs_ref[i, j]
+        # Lane-aligned slot base, clamped so overflow degrades to overwrites
+        # of earlier (nearer) probes rather than OOB stores.
+        off = pl.multiple_of(
+            jnp.minimum(offs_ref[i, j], budget_pad - max_len_pad), 128
+        )
 
         def dma(c):
             return pltpu.make_async_copy(
@@ -79,7 +87,7 @@ def _kernel_factory(max_len_pad: int, d: int, budget_pad: int, chunk: int):
             def _(c=c):
                 dma(c).wait()
 
-        q = q_ref[:]  # (1, d)
+        q = q_ref[0]  # (1, d)
         x = scratch[:]  # (max_len_pad, d)
         cross = jax.lax.dot_general(
             x, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -95,8 +103,8 @@ def _kernel_factory(max_len_pad: int, d: int, budget_pad: int, chunk: int):
         # Write this probe's packed slot window; tail beyond ln is inf/-1 and
         # is rewritten by later probes (ascending offsets), the global tail
         # stays at the j==0 initialization.
-        out_d_ref[0, pl.ds(off, x.shape[0])] = dist
-        out_r_ref[0, pl.ds(off, x.shape[0])] = rows
+        out_d_ref[0, 0, pl.ds(off, x.shape[0])] = dist
+        out_r_ref[0, 0, pl.ds(off, x.shape[0])] = rows
 
     return kernel, nchunk
 
@@ -114,18 +122,23 @@ def ivf_gather_distances(
     budget: int,
     interpret: bool = False,
 ):
-    """-> (dist (nq, budget) f32 inf-padded, rows (nq, budget) int32 -1-padded).
+    """-> (dist (nq, W) f32 inf-padded, rows (nq, W) int32 -1-padded).
 
-    Packed per-query candidate distances for the probed posting lists, in
-    nearest-centroid probe order.
+    Per-query candidate distances for the probed posting lists in
+    nearest-centroid probe order, packed at 128-aligned slot offsets
+    (probe j starts at sum of round_up(len, 128) over earlier probes);
+    alignment holes are inf/-1. W >= budget + p*128.
     """
     nq, d = queries.shape
     p = starts.shape[1]
     chunk = _chunk_for(max_len)
     max_len_pad = _round_up(max(max_len, 8), chunk)
-    budget_pad = _round_up(budget + max_len_pad, 128)
 
-    offs = jnp.cumsum(lengths, axis=1) - lengths  # exclusive prefix sums
+    # Slot offsets are 128-aligned (Mosaic vector stores need lane-aligned
+    # dynamic bases); the aligned gaps are inf/-1 holes the selection skips.
+    lens_al = _round_up_arr(lengths, 128)
+    offs = jnp.cumsum(lens_al, axis=1) - lens_al  # exclusive prefix sums
+    budget_pad = _round_up(budget + p * 128 + max_len_pad, 128)
 
     kernel, nchunk = _kernel_factory(max_len_pad, d, budget_pad, chunk)
 
@@ -133,13 +146,15 @@ def ivf_gather_distances(
         num_scalar_prefetch=3,
         grid=(nq, p),
         in_specs=[
-            pl.BlockSpec((1, d), lambda i, j, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(
+                (1, 1, d), lambda i, j, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, budget_pad), lambda i, j, *_: (i, 0),
+            pl.BlockSpec((1, 1, budget_pad), lambda i, j, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, budget_pad), lambda i, j, *_: (i, 0),
+            pl.BlockSpec((1, 1, budget_pad), lambda i, j, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -151,10 +166,13 @@ def ivf_gather_distances(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((nq, budget_pad), jnp.float32),
-            jax.ShapeDtypeStruct((nq, budget_pad), jnp.int32),
+            jax.ShapeDtypeStruct((nq, 1, budget_pad), jnp.float32),
+            jax.ShapeDtypeStruct((nq, 1, budget_pad), jnp.int32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(starts.astype(jnp.int32), offs.astype(jnp.int32),
-      lengths.astype(jnp.int32), queries, vectors)
-    return dist[:, :budget], rows[:, :budget]
+      lengths.astype(jnp.int32), queries[:, None, :], vectors)
+    return dist[:, 0, :], rows[:, 0, :]
