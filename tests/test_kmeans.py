@@ -166,3 +166,18 @@ def test_kmeans_pp_init_spread(rng):
     d = ((init[:, None, :] - init[None, :, :]) ** 2).sum(-1)
     np.fill_diagonal(d, np.inf)
     assert d.min() > 10.0
+
+
+def test_refine_iters_improves_balance():
+    # Lloyd refinement after mini-batch must not hurt inertia and should
+    # reduce cluster-size skew on isotropic data.
+    rng = np.random.default_rng(11)
+    data = rng.normal(size=(5000, 16)).astype(np.float32)
+    base = run_kmeans_mini_batch(data, k=50, max_iters=30, seed=4)
+    ref = run_kmeans_mini_batch(data, k=50, max_iters=30, seed=4, refine_iters=5)
+    i_base = compute_inertia(data, base.centroids, base.labels)
+    i_ref = compute_inertia(data, ref.centroids, ref.labels)
+    assert i_ref <= i_base * 1.01
+    skew_base = np.bincount(np.asarray(base.labels), minlength=50).max()
+    skew_ref = np.bincount(np.asarray(ref.labels), minlength=50).max()
+    assert skew_ref <= skew_base
