@@ -141,6 +141,31 @@ def main() -> None:
     if args.full:
         import os
 
+        # Small-batch latency section: the IVF gather paths' home turf
+        # (per-call times include this environment's ~28 ms host-fetch
+        # round-trip; production PCIe overhead is ~us).
+        latency_rows = []
+        for nq_small in (1, 8, 64):
+            xq_s = xq[:nq_small]
+            for method in ("gather", "flat"):
+                lat = []
+                Dd, _ = index.search_device(xq_s, args.k, 16, method=method)
+                _ = np.asarray(Dd[:1, :1])
+                for _ in range(20):
+                    t0 = time.perf_counter()
+                    Dd, _ = index.search_device(xq_s, args.k, 16, method=method)
+                    _ = np.asarray(Dd[:1, :1])
+                    lat.append((time.perf_counter() - t0) * 1000)
+                lat.sort()
+                latency_rows.append(
+                    dict(nq=nq_small, method=method, p50_ms=lat[len(lat) // 2])
+                )
+                print(
+                    f"# latency nq={nq_small} {method}: p50 "
+                    f"{lat[len(lat) // 2]:.2f} ms",
+                    file=sys.stderr,
+                )
+
         os.makedirs("bench_results", exist_ok=True)
         report = dict(
             config=dict(n=args.n, d=args.d, nq=args.nq, k=args.k,
@@ -148,6 +173,7 @@ def main() -> None:
             build_seconds=t_build,
             cpu_exact_qps=cpu_qps,
             sweep=rows,
+            latency=latency_rows,
         )
         with open("bench_results/sweep.json", "w") as f:
             json.dump(report, f, indent=2)

@@ -197,7 +197,7 @@ class VectorIndexer:
         ]
 
     async def search(self, req: SearchRequest) -> List[SearchResult]:
-        return await asyncio.get_event_loop().run_in_executor(
+        return await asyncio.get_running_loop().run_in_executor(
             None, self.search_sync, req
         )
 

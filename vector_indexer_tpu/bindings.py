@@ -101,7 +101,7 @@ class VectorIndex:
     async def search(
         self, xq: np.ndarray, k: int, n_probe: int
     ) -> Tuple[np.ndarray, np.ndarray]:
-        loop = asyncio.get_event_loop()
+        loop = asyncio.get_running_loop()
         return await loop.run_in_executor(None, self.search_sync, xq, k, n_probe)
 
 

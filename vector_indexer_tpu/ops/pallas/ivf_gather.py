@@ -49,11 +49,16 @@ def _kernel_factory(max_len_pad: int, d: int, budget_pad: int, chunk: int):
         vec_ref,  # (n_pad, d) ANY/HBM — full table
         out_d_ref,  # (1, 1, budget_pad) VMEM — packed distances (revisited)
         out_r_ref,  # (1, 1, budget_pad) VMEM — packed rows (revisited)
-        scratch,  # (max_len_pad, d) VMEM
-        sems,  # DMA semaphores (nchunk,)
+        scratch,  # (2, max_len_pad, d) VMEM — double buffer
+        sems,  # DMA semaphores (2, nchunk)
     ):
         i = pl.program_id(0)
         j = pl.program_id(1)
+        p = pl.num_programs(1)
+        nq = pl.num_programs(0)
+        g = i * p + j  # global probe index; grid executes in this order
+        slot = jax.lax.rem(g, 2)
+        nslot = jax.lax.rem(g + 1, 2)
 
         @pl.when(j == 0)
         def _():
@@ -68,27 +73,51 @@ def _kernel_factory(max_len_pad: int, d: int, budget_pad: int, chunk: int):
             jnp.minimum(offs_ref[i, j], budget_pad - max_len_pad), 128
         )
 
-        def dma(c):
+        def dma(s, st, c):
             return pltpu.make_async_copy(
-                vec_ref.at[pl.ds(start + c * chunk, chunk), :],
-                scratch.at[pl.ds(c * chunk, chunk), :],
-                sems.at[c],
+                vec_ref.at[pl.ds(st + c * chunk, chunk), :],
+                scratch.at[s, pl.ds(c * chunk, chunk), :],
+                sems.at[s, c],
             )
 
-        # Start only the chunks that cover [0, ln); table is tail-padded so
-        # a full chunk read past the list end is always in bounds.
-        for c in range(nchunk):
-            @pl.when(c * chunk < ln)
-            def _(c=c):
-                dma(c).start()
+        # Warm-up: the very first probe fetches its own lists (no overlap).
+        @pl.when(g == 0)
+        def _():
+            for c in range(nchunk):
+                @pl.when(c * chunk < ln)
+                def _(c=c):
+                    dma(slot, start, c).start()
 
+        # Pipeline: prefetch probe g+1's lists into the other buffer while
+        # this probe's distance ranking runs (the double-buffering pattern;
+        # grid programs execute sequentially so the DMA overlaps compute).
+        last = nq * p - 1
+
+        @pl.when(g < last)
+        def _():
+            i1 = jax.lax.div(g + 1, p)
+            j1 = jax.lax.rem(g + 1, p)
+            st1 = starts_ref[i1, j1]
+            ln1 = lens_ref[i1, j1]
+            for c in range(nchunk):
+                @pl.when(c * chunk < ln1)
+                def _(c=c):
+                    dma(nslot, st1, c).start()
+
+        # Wait for this probe's buffer (started by the previous program, or
+        # by the warm-up above for g==0); table tail padding keeps every
+        # full-chunk read in bounds.
         for c in range(nchunk):
             @pl.when(c * chunk < ln)
             def _(c=c):
-                dma(c).wait()
+                pltpu.make_async_copy(
+                    vec_ref.at[pl.ds(start + c * chunk, chunk), :],
+                    scratch.at[slot, pl.ds(c * chunk, chunk), :],
+                    sems.at[slot, c],
+                ).wait()
 
         q = q_ref[0]  # (1, d)
-        x = scratch[:]  # (max_len_pad, d)
+        x = scratch[slot]  # (max_len_pad, d)
         cross = jax.lax.dot_general(
             x, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )[:, 0]  # (max_len_pad,)
@@ -158,8 +187,8 @@ def ivf_gather_distances(
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((max_len_pad, d), jnp.float32),
-            pltpu.SemaphoreType.DMA((nchunk,)),
+            pltpu.VMEM((2, max_len_pad, d), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, nchunk)),
         ],
     )
     dist, rows = pl.pallas_call(
