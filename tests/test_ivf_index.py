@@ -48,8 +48,9 @@ def test_conservation_and_no_duplicates(built_index):
     lengths = np.asarray(idx.layout.lengths)
     assert lengths.sum() == len(data)
     assert lengths.min() > 0  # empty lists were filtered
-    perm = idx.layout.perm
-    assert len(np.unique(perm)) == len(data)
+    real = idx.layout.perm[idx.layout.perm >= 0]
+    assert len(real) == len(data)
+    assert len(np.unique(real)) == len(data)
 
 
 def test_exact_match_returns_itself(built_index):

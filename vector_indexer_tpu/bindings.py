@@ -89,8 +89,9 @@ class VectorIndex:
         """Map device layout rows (from search_device) to external ids."""
         idx = self._indexer.index
         rows = np.asarray(rows)
+        bound = max(idx.layout.rows_used - 1, 0)
         internal = np.where(
-            rows >= 0, idx.layout.perm[np.clip(rows, 0, idx.layout.n - 1)], -1
+            rows >= 0, idx.layout.perm[np.clip(rows, 0, bound)], -1
         )
         return np.where(
             internal >= 0,

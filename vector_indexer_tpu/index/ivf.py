@@ -119,10 +119,9 @@ def _ivf_search_dense_program(
     queries,  # (nq_pad, d) f32, nq_pad % q_tile == 0
     centroids_ord,  # (kc, d) — centroid table REORDERED to layout-run order
     c_sq_ord,  # (kc,)
-    vectors,  # (n_pad, d) cluster-permuted
-    row_norms,  # (n_pad,)
-    run_starts,  # (kc,) int32 — run begin rows, ascending layout order
-    n_rows,  # () int32 — number of real rows
+    vectors,  # (n_pad, d) cluster-permuted, runs ALIGN-aligned
+    row_norms,  # (n_pad,) — SENTINEL_NORM on gap/tail rows
+    run_starts_b,  # (kc,) int32 — run begin BLOCKS, ascending layout order
     n_probe,  # () int32 — TRACED so one compile serves a whole nprobe sweep
     *,
     k: int,
@@ -136,15 +135,17 @@ def _ivf_search_dense_program(
 
     Gather-free masking: the centroid table is pre-reordered to match the
     row layout, so "cluster is probed" is just ``coarse distance <= the
-    n_probe-th smallest`` per query, and the per-run membership deltas
-    scattered at run starts + prefix-summed along rows expand it to a row
-    mask (posting lists are contiguous runs). A take_along_axis formulation
-    measured ~10x slower on TPU.
+    n_probe-th smallest`` per query; per-run membership deltas scattered at
+    run-start BLOCKS + prefix-summed over the n/ALIGN block grid expand it
+    exactly (runs are block-aligned; gap rows carry sentinel norms). The
+    block grid makes the prefix sum ALIGN x cheaper than a row-level mask;
+    a take_along_axis formulation measured ~10x slower still.
     """
+    from ..storage.layout import ALIGN, SENTINEL_THRESHOLD
+
     nq_pad, d = queries.shape
-    kc = centroids_ord.shape[0]
     n_pad = vectors.shape[0]
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
+    nb = n_pad // ALIGN
 
     def one_tile(qt):
         q_sq = sq_norms(qt)
@@ -165,10 +166,10 @@ def _ivf_search_dense_program(
         delta = s_ord - jnp.concatenate(
             [jnp.zeros((q_tile, 1), jnp.float32), s_ord[:, :-1]], axis=1
         )
-        wall = jnp.zeros((q_tile, n_pad), jnp.float32)
-        wall = wall.at[:, run_starts].add(delta)
-        mask = jnp.cumsum(wall, axis=1) > 0.5
-        mask = mask & (row_iota < n_rows)
+        wall = jnp.zeros((q_tile, nb), jnp.float32)
+        wall = wall.at[:, run_starts_b].add(delta)
+        mask_b = jnp.cumsum(wall, axis=1) > 0.5
+        mask = jnp.repeat(mask_b, ALIGN, axis=1)  # exact: runs are aligned
 
         dist = (
             q_sq[:, None]
@@ -191,7 +192,10 @@ def _ivf_search_dense_program(
             dvals = neg
         else:
             dvals, rows = topk_smallest(dist, k)
-        rows = jnp.where(jnp.isfinite(dvals), rows, -1)
+        # Sentinel (gap/tail) rows never count as results.
+        real = jnp.isfinite(dvals) & (dvals < SENTINEL_THRESHOLD)
+        rows = jnp.where(real, rows, -1)
+        dvals = jnp.where(real, dvals, jnp.inf)
         return dvals, rows
 
     tiles = queries.reshape(nq_pad // q_tile, q_tile, d)
@@ -203,8 +207,7 @@ def _ivf_search_dense_program(
 def _flat_search_program(
     queries,  # (nq_pad, d)
     vectors,  # (n_pad, d)
-    row_norms,  # (n_pad,)
-    n_rows,  # () int32
+    row_norms,  # (n_pad,) — SENTINEL_NORM on gap/tail rows
     *,
     k: int,
     q_tile: int,
@@ -215,9 +218,9 @@ def _flat_search_program(
     to multi-million-row corpora (the coarse scan + mask cost more than the
     FLOPs they save), so this is the recommended large-batch path when
     recall ~1.0 is wanted."""
+    from ..storage.layout import SENTINEL_THRESHOLD
+
     nq_pad, d = queries.shape
-    n_pad = vectors.shape[0]
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
 
     def one_tile(qt):
         q_sq = sq_norms(qt)
@@ -230,12 +233,15 @@ def _flat_search_program(
             )
             + row_norms[None, :]
         )
-        dist = jnp.where(row_iota < n_rows, jnp.maximum(dist, 0.0), jnp.inf)
+        dist = jnp.maximum(dist, 0.0)
         if approx:
             dvals, rows = jax.lax.approx_min_k(dist, k, recall_target=0.99)
         else:
             dvals, rows = topk_smallest(dist, k)
-        rows = jnp.where(jnp.isfinite(dvals), rows, -1)
+        # Sentinel (gap/tail) rows never count as results.
+        real = jnp.isfinite(dvals) & (dvals < SENTINEL_THRESHOLD)
+        rows = jnp.where(real, rows, -1)
+        dvals = jnp.where(real, dvals, jnp.inf)
         return dvals, rows
 
     tiles = queries.reshape(nq_pad // q_tile, q_tile, d)
@@ -374,8 +380,10 @@ class IvfIndex:
         dvals = np.asarray(dvals)[:nq]
         irows = np.asarray(irows)[:nq]
         lay = self.layout
-        # Map layout rows -> internal ids on host (cheap: nq*k).
-        internal = np.where(irows >= 0, lay.perm[np.clip(irows, 0, lay.n - 1)], -1)
+        # Map layout rows -> internal ids on host (cheap: nq*k). Alignment
+        # gap rows carry perm == -1 and can't appear as results anyway.
+        bound = max(lay.rows_used - 1, 0)
+        internal = np.where(irows >= 0, lay.perm[np.clip(irows, 0, bound)], -1)
         return dvals, internal.astype(np.int64)
 
     def search_batch_device(
@@ -430,13 +438,12 @@ class IvfIndex:
                 pad_to(q_tile),
                 lay.vectors,
                 lay.row_norms,
-                jnp.int32(lay.n),
                 k=k,
                 q_tile=q_tile,
                 approx=(method == "flat" and lay.n > 50_000),
             )
         if method in ("dense", "dense_exact"):
-            run_starts, centroids_ord, c_sq_ord = self._run_tables()
+            run_starts_b, centroids_ord, c_sq_ord = self._run_tables()
             # Live per-query bytes: the (q_tile, n_pad) distance + mask planes.
             q_tile = pick_q_tile(nq, lay.vectors.shape[0] * 4 // d, d)
             # Exact top-k for small corpora (cheap anyway); hardware
@@ -448,8 +455,7 @@ class IvfIndex:
                 c_sq_ord,
                 lay.vectors,
                 lay.row_norms,
-                run_starts,
-                jnp.int32(lay.n),
+                run_starts_b,
                 jnp.int32(n_probe),
                 k=k,
                 q_tile=q_tile,
@@ -504,14 +510,17 @@ class IvfIndex:
         )
 
     def _run_tables(self):
-        """(run_starts, centroids_ord, c_sq_ord): contiguous posting runs in
-        layout order, with the centroid table reordered to match."""
+        """(run_start_blocks, centroids_ord, c_sq_ord): contiguous posting
+        runs in layout order (block-granular starts), with the centroid
+        table reordered to match."""
         if getattr(self, "_runs", None) is None:
+            from ..storage.layout import ALIGN
+
             starts = np.asarray(self.layout.offsets)[:-1]
             order = np.argsort(starts, kind="stable")
             c_ord = jnp.asarray(self.centroids[order], jnp.float32)
             self._runs = (
-                jnp.asarray(starts[order].astype(np.int32)),
+                jnp.asarray((starts[order] // ALIGN).astype(np.int32)),
                 c_ord,
                 sq_norms(c_ord),
             )
@@ -542,7 +551,8 @@ class IvfIndex:
         if getattr(self, "_perm_inv", None) is None or self._perm_inv_rows != lay.n:
             size = int(lay.perm.max()) + 1 if lay.n else 0
             inv = np.full(size, -1, np.int64)
-            inv[lay.perm] = np.arange(lay.n)
+            real = lay.perm >= 0
+            inv[lay.perm[real]] = np.flatnonzero(real)
             self._perm_inv = inv
             self._perm_inv_rows = lay.n
         row = self._perm_inv[internal_id]

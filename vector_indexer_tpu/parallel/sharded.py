@@ -69,8 +69,8 @@ class ShardedSearcher:
         rows_per_dev = _round_up(max(rows_per_dev, 1) + 1, 8)  # +1 pad row
 
         dim = index.dimension
-        vecs = np.asarray(lay.vectors)[: lay.n]
-        norms = np.asarray(lay.row_norms)[: lay.n]
+        vecs = np.asarray(lay.vectors)[: lay.rows_used]
+        norms = np.asarray(lay.row_norms)[: lay.rows_used]
         perm = lay.perm
 
         local_vecs = np.zeros((n_dev, rows_per_dev, dim), np.float32)

@@ -7,7 +7,12 @@ offsets, ordered so that every shard's clusters are contiguous. A query is
 then: coarse top-n_probe -> static-shape row-window gather -> masked exact
 re-rank, with no I/O on the hot path.
 
-Row n (the last, zero-filled row) is the safe gather target for masked slots.
+Every posting run starts at a multiple of ``ALIGN`` rows, so row-blocks map
+1:1 to clusters and the dense path's probe mask can be built on the
+n/ALIGN block grid (ALIGN x cheaper prefix sums) and expanded exactly.
+Alignment gap rows and the table tail carry SENTINEL_NORM in ``row_norms``
+(their vectors are zero), which pushes their distances beyond any real
+candidate; ``perm`` is -1 there.
 """
 
 from __future__ import annotations
@@ -18,6 +23,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+ALIGN = 8  # posting-run row alignment (block-mask granularity)
+SENTINEL_NORM = np.float32(1e30)  # gap/tail rows: distance ~1e30, never win
+SENTINEL_THRESHOLD = 1e29  # distances above this are non-results
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -27,11 +36,11 @@ def _round_up(x: int, m: int) -> int:
 class PostingLayout:
     """Cluster-permuted vector table + CSR offsets, device-resident."""
 
-    vectors: jax.Array  # (n_pad, d) f32; rows >= n are zero padding
-    row_norms: jax.Array  # (n_pad,) f32 squared norms (0 for pads)
-    offsets: jax.Array  # (k + 1,) int32 CSR row offsets per cluster
+    vectors: jax.Array  # (n_pad, d) f32; gap/tail rows are zero
+    row_norms: jax.Array  # (n_pad,) f32 squared norms; SENTINEL_NORM on pads
+    offsets: jax.Array  # (k + 1,) int32: per-cluster start rows (+ row end)
     lengths: jax.Array  # (k,) int32 posting-list lengths
-    perm: np.ndarray  # (n,) int64: layout row -> internal id (host)
+    perm: np.ndarray  # (rows_used,) int64: layout row -> internal id; -1 gaps
     n: int  # real vector count
     max_list_len: int  # static bound for the gather window
 
@@ -43,6 +52,65 @@ class PostingLayout:
     def dim(self) -> int:
         return int(self.vectors.shape[1])
 
+    @property
+    def rows_used(self) -> int:
+        return len(self.perm)
+
+
+def _finalize(
+    sorted_vecs: np.ndarray,
+    perm_real: np.ndarray,
+    starts: np.ndarray,  # aligned, by cluster id
+    lengths: np.ndarray,
+    num_clusters: int,
+    device_put=True,
+) -> PostingLayout:
+    """Common packing: place each cluster's rows at its aligned start."""
+    n, d = sorted_vecs.shape if sorted_vecs.ndim == 2 else (0, 1)
+    if num_clusters and n:
+        rows_used = int((starts + _round_up_arr(lengths, ALIGN)).max())
+        max_len = int(lengths.max())
+    else:
+        rows_used, max_len = 0, 0
+    tail = _round_up(max(max_len, 1), 512) if max_len else 1
+    n_pad = _round_up(rows_used + tail + 1, ALIGN)
+
+    padded = np.zeros((n_pad, d), dtype=np.float32)
+    norms = np.full(n_pad, SENTINEL_NORM, dtype=np.float32)
+    perm = np.full(rows_used, -1, dtype=np.int64)
+
+    pos = 0  # cursor into sorted_vecs (clusters concatenated in layout order)
+    order = np.argsort(starts, kind="stable")
+    for cid in order:
+        m = int(lengths[cid])
+        if m == 0:
+            continue
+        s = int(starts[cid])
+        block = sorted_vecs[pos : pos + m]
+        padded[s : s + m] = block
+        norms[s : s + m] = (block.astype(np.float64) ** 2).sum(1).astype(np.float32)
+        perm[s : s + m] = perm_real[pos : pos + m]
+        pos += m
+
+    csr = np.zeros(num_clusters + 1, dtype=np.int32)
+    csr[:-1] = starts
+    csr[-1] = rows_used
+
+    dev = jnp.asarray if device_put else (lambda x: x)
+    return PostingLayout(
+        vectors=dev(padded),
+        row_norms=dev(norms),
+        offsets=dev(csr),
+        lengths=dev(lengths.astype(np.int32)),
+        perm=perm,
+        n=n,
+        max_list_len=max_len,
+    )
+
+
+def _round_up_arr(x, m):
+    return ((x + m - 1) // m) * m
+
 
 def build_layout(
     vectors: np.ndarray,
@@ -51,7 +119,7 @@ def build_layout(
     cluster_order: np.ndarray | None = None,
     device_put=True,
 ) -> PostingLayout:
-    """Pack vectors into cluster-contiguous CSR order.
+    """Pack vectors into cluster-contiguous, ALIGN-aligned CSR order.
 
     ``cluster_order`` permutes cluster placement (clusters of the same shard
     are laid out adjacently so multi-chip sharding slices contiguous rows).
@@ -69,42 +137,21 @@ def build_layout(
 
     # Stable sort by (placement rank of cluster) keeps intra-cluster insertion
     # order, matching the reference's list build order (ivf_index.rs:94-101).
-    perm = np.argsort(cluster_rank[labels], kind="stable")
-    sorted_vecs = vectors[perm]
+    perm_real = np.argsort(cluster_rank[labels], kind="stable")
+    sorted_vecs = vectors[perm_real]
 
     counts = np.bincount(labels, minlength=num_clusters)
-    counts_in_order = counts[cluster_order]
-    offsets = np.zeros(num_clusters + 1, dtype=np.int32)
-    np.cumsum(counts_in_order, out=offsets[1:])
-    # offsets indexed by *cluster id*: cluster c starts at starts[rank[c]].
-    starts_by_rank = offsets[:-1]
-    starts = np.empty(num_clusters, dtype=np.int32)
-    starts[cluster_order] = starts_by_rank
     lengths = counts.astype(np.int32)
-    csr = np.zeros(num_clusters + 1, dtype=np.int32)
-    csr[:-1] = starts
-    csr[-1] = n  # sentinel; per-cluster ranges use (starts, lengths)
+    # Aligned placement in cluster_order.
+    sizes_in_order = _round_up_arr(counts[cluster_order], ALIGN)
+    starts_in_order = np.zeros(num_clusters, dtype=np.int64)
+    if num_clusters > 1:
+        np.cumsum(sizes_in_order[:-1], out=starts_in_order[1:])
+    starts = np.empty(num_clusters, dtype=np.int64)
+    starts[cluster_order] = starts_in_order
 
-    # Tail padding lets range-DMA kernels read a full static chunked window
-    # (<= round_up(max_list_len, 512) rows) from any posting-list start
-    # without bounds clamping.
-    max_len = int(counts.max()) if num_clusters > 0 and n > 0 else 0
-    tail = _round_up(max(max_len, 1), 512) if max_len else 1
-    n_pad = _round_up(n + tail + 1, 8)
-    padded = np.zeros((n_pad, d), dtype=np.float32)
-    padded[:n] = sorted_vecs
-    norms = np.zeros(n_pad, dtype=np.float32)
-    norms[:n] = (sorted_vecs.astype(np.float64) ** 2).sum(1).astype(np.float32)
-
-    dev = jnp.asarray if device_put else (lambda x: x)
-    return PostingLayout(
-        vectors=dev(padded),
-        row_norms=dev(norms),
-        offsets=dev(csr),
-        lengths=dev(lengths),
-        perm=perm,
-        n=n,
-        max_list_len=max_len,
+    return _finalize(
+        sorted_vecs, perm_real, starts, lengths, num_clusters, device_put
     )
 
 

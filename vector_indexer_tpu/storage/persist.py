@@ -81,7 +81,7 @@ def save_shards(index, shards_dir) -> None:
     lay = index.layout
     if lay is None:
         raise RuntimeError("index has no posting layout to persist")
-    vectors = np.asarray(lay.vectors)[: lay.n]
+    vectors = np.asarray(lay.vectors)[: lay.rows_used]
     starts = np.asarray(lay.offsets)[:-1]
     lengths = np.asarray(lay.lengths)
     perm = lay.perm
@@ -154,9 +154,7 @@ def _stage_shards(idx, shards_dir, n_total: int) -> None:
     Missing/corrupt shards are skipped with a warning (partial-result
     semantics); their clusters keep zero-length posting lists.
     """
-    import jax.numpy as jnp
-
-    from .layout import PostingLayout
+    from .layout import ALIGN, _finalize
 
     kc = idx.num_clusters
     dim = idx.dimension
@@ -174,12 +172,13 @@ def _stage_shards(idx, shards_dir, n_total: int) -> None:
             for cl in shard.clusters:
                 clusters[cl.centroid_id] = cl
 
-    # Cluster placement identical to build: grouped by shard (stable).
+    # Cluster placement identical to build: grouped by shard (stable),
+    # run starts ALIGN-aligned.
     cluster_order = np.argsort(idx.centroids_to_shard, kind="stable")
 
-    lengths = np.zeros(kc, np.int32)
+    lengths = np.zeros(kc, np.int64)
     vec_parts, perm_parts = [], []
-    starts = np.zeros(kc, np.int32)
+    starts = np.zeros(kc, np.int64)
     row = 0
     for cid in cluster_order:
         cl = clusters.get(int(cid))
@@ -190,40 +189,19 @@ def _stage_shards(idx, shards_dir, n_total: int) -> None:
         lengths[cid] = m
         vec_parts.append(cl.vectors)
         perm_parts.append(cl.internal_ids.astype(np.int64))
-        row += m
+        row += -(-m // ALIGN) * ALIGN
 
-    n = row
     if vec_parts:
         allvecs = np.concatenate(vec_parts, axis=0)
-        perm = np.concatenate(perm_parts)
+        perm_real = np.concatenate(perm_parts)
     else:
         allvecs = np.zeros((0, dim), np.float32)
-        perm = np.zeros(0, np.int64)
+        perm_real = np.zeros(0, np.int64)
 
-    max_len = int(lengths.max()) if kc else 0
-    tail = (-(-max(max_len, 1) // 512) * 512) if max_len else 1
-    n_pad = -(-(n + tail + 1) // 8) * 8
-    padded = np.zeros((n_pad, dim), np.float32)
-    padded[:n] = allvecs
-    norms = np.zeros(n_pad, np.float32)
-    norms[:n] = (allvecs.astype(np.float64) ** 2).sum(1).astype(np.float32)
-
-    csr = np.zeros(kc + 1, np.int32)
-    csr[:-1] = starts
-    csr[-1] = n
-
-    idx.layout = PostingLayout(
-        vectors=jnp.asarray(padded),
-        row_norms=jnp.asarray(norms),
-        offsets=jnp.asarray(csr),
-        lengths=jnp.asarray(lengths),
-        perm=perm,
-        n=n,
-        max_list_len=max_len,
-    )
+    idx.layout = _finalize(allvecs, perm_real, starts, lengths, kc)
 
     # Record columns indexed by internal id; internal ids are dense 0..n_total.
-    size = max(n_total, int(perm.max()) + 1 if n else 0)
+    size = max(n_total, int(perm_real.max()) + 1 if len(perm_real) else 0)
     ext = np.zeros(size, np.uint64)
     ts = np.zeros(size, np.uint64)
     for cid, cl in clusters.items():
