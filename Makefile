@@ -1,0 +1,19 @@
+# Developer entry points.
+
+.PHONY: test bench bench-quick native clean
+
+native:
+	$(MAKE) -C vector_indexer_tpu/storage/native
+
+test: native
+	python -m pytest tests/ -x -q
+
+bench: native
+	python bench.py --full
+
+bench-quick: native
+	python bench.py --quick
+
+clean:
+	$(MAKE) -C vector_indexer_tpu/storage/native clean
+	rm -rf bench_results

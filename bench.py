@@ -147,7 +147,7 @@ def main() -> None:
         latency_rows = []
         for nq_small in (1, 8, 64):
             xq_s = xq[:nq_small]
-            for method in ("gather", "flat"):
+            for method in ("auto", "flat"):
                 lat = []
                 Dd, _ = index.search_device(xq_s, args.k, 16, method=method)
                 _ = np.asarray(Dd[:1, :1])

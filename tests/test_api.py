@@ -183,3 +183,20 @@ def test_suggest_nlist():
     assert vx.suggest_nlist(9_999) == int(9_999**0.5)
     assert vx.suggest_nlist(50_000) == 2 * int(np.ceil(50_000**0.5))
     assert vx.suggest_nlist(1_000_000) == 4000
+
+
+def test_staged_device_queries(tmp_path):
+    # Pre-staged jax-array queries (the serving hot path) must give the same
+    # results as the numpy path.
+    import jax.numpy as jnp
+
+    g = np.random.default_rng(3)
+    xb = g.normal(size=(300, 8)).astype(np.float32)
+    index = vx.build(xb, work_dir=str(tmp_path))
+    xq = xb[:16]
+    D1, I1 = index.search_sync(xq, 4, 8)
+    xq_dev = index.stage_queries(xq)
+    Dd, rows = index.search_device(xq_dev, 4, 8)
+    I2 = index.rows_to_external(np.asarray(rows)[:16])
+    np.testing.assert_array_equal(I1, I2)
+    np.testing.assert_allclose(D1, np.asarray(Dd)[:16], rtol=1e-5, atol=1e-6)
