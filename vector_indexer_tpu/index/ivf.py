@@ -105,9 +105,10 @@ def _ivf_search_program(
     return dvals.reshape(nq_pad, k), ivals.reshape(nq_pad, k)
 
 
-def pick_q_tile(nq: int, budget: int, d: int, mem_cap_bytes: int = 1 << 29) -> int:
-    """Query-tile size so the (q_tile, C, d) candidate gather stays under
-    ~mem_cap bytes of live HBM (default 512 MB)."""
+def pick_q_tile(nq: int, budget: int, d: int, mem_cap_bytes: int = 3 << 29) -> int:
+    """Query-tile size so the per-tile intermediates stay under ~mem_cap
+    bytes of live HBM (default 1.5 GB; the v5e has 16 GB and the table
+    itself is the only other large resident)."""
     per_query = max(1, budget * d * 4)
     qt = max(8, min(_QUERY_TILE, mem_cap_bytes // per_query))
     qt = min(qt, _round_up(nq, 8))
