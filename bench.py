@@ -66,14 +66,16 @@ def main() -> None:
     t_build = time.perf_counter() - t0
 
     # CPU exact-scan comparator (single-thread numpy, chunked): the
-    # deterministic stand-in baseline.
+    # stand-in baseline. Best of 3 trials to damp machine-load noise.
     sample_q = xq[: min(8, args.nq)]
-    t0 = time.perf_counter()
     xb_sq = (xb**2).sum(1)
-    for q in sample_q:
-        d = xb_sq - 2.0 * (xb @ q) + (q**2).sum()
-        np.argpartition(d, min(args.k, len(d) - 1))[: args.k]
-    cpu_qps = len(sample_q) / (time.perf_counter() - t0)
+    cpu_qps = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for q in sample_q:
+            d = xb_sq - 2.0 * (xb @ q) + (q**2).sum()
+            np.argpartition(d, min(args.k, len(d) - 1))[: args.k]
+        cpu_qps = max(cpu_qps, len(sample_q) / (time.perf_counter() - t0))
 
     nprobes = [1, 2, 4, 8, 16, 32, 64]
     rows = []

@@ -45,10 +45,17 @@ class VectorIndexerConfig:
     default_n_probe: int = 20
     max_k: int = 10_000
     max_n_probe: int = 10_000
+    # Extension beyond the reference (which is L2-only): 'l2' | 'ip' |
+    # 'cosine'. For 'ip'/'cosine' returned distances are negated similarities
+    # (ascending = most similar first).
+    metric: str = "l2"
 
     def __post_init__(self):
         self.index_dir = Path(self.index_dir)
         self.shards_dir = Path(self.shards_dir)
+
+    def with_metric(self, metric: str) -> "VectorIndexerConfig":
+        return dataclasses.replace(self, metric=metric)
 
     def with_index_dir(self, index_dir) -> "VectorIndexerConfig":
         return dataclasses.replace(self, index_dir=Path(index_dir))
@@ -160,7 +167,7 @@ class VectorIndexer:
     def _fit_and_save(self, store: VectorStore) -> "VectorIndexer":
         # Fixed seed for API builds: deterministic, not configurable
         # (parity: api.rs:143).
-        self.index = IvfIndex.fit(store, seed=42)
+        self.index = IvfIndex.fit(store, seed=42, metric=self.cfg.metric)
         self.index.save_shards_to(self.cfg.shards_dir)
         self.index.save_to(self.cfg.index_dir)
         return self

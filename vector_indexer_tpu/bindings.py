@@ -113,6 +113,7 @@ def _default_work_dir() -> Path:
 def build(
     xb: np.ndarray,
     work_dir: Optional[str] = None,
+    metric: str = "l2",
 ) -> VectorIndex:
     """Build an index from an (n, d) float32 array; external_id = row index."""
     xb = np.ascontiguousarray(xb, dtype=np.float32)
@@ -120,7 +121,7 @@ def build(
         raise ValueError("xb must be a non-empty (n, d) array")
     wd = Path(work_dir) if work_dir else _default_work_dir()
     cfg = (
-        VectorIndexerConfig(xb.shape[1])
+        VectorIndexerConfig(xb.shape[1], metric=metric)
         .with_index_dir(wd / "index")
         .with_shards_dir(wd / "shards")
     )

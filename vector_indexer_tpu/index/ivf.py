@@ -49,8 +49,27 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _score(qt, table, table_norms, q_sq, metric):
+    """Batched 'distance' (smaller = better) for the supported metrics.
+
+    l2: exact squared L2 via the norm expansion. ip: negated inner product
+    (cosine reduces to ip after normalization at build/search). Sentinel
+    (gap/tail) rows carry SENTINEL_NORM in table_norms: for l2 that term
+    dominates directly; for ip it is added as an explicit penalty.
+    """
+    cross = jnp.dot(
+        qt, table.T, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    if metric == "l2":
+        return jnp.maximum(q_sq[:, None] - 2.0 * cross + table_norms[None, :], 0.0)
+    # ip / cosine: smaller = better = more-negative similarity.
+    penalty = jnp.where(table_norms >= 1e29, table_norms, 0.0)
+    return -cross + penalty[None, :]
+
+
 @functools.partial(
-    jax.jit, static_argnames=("k", "n_probe", "budget", "q_tile")
+    jax.jit, static_argnames=("k", "n_probe", "budget", "q_tile", "metric")
 )
 def _ivf_search_program(
     queries,  # (nq_pad, d) f32, nq_pad % q_tile == 0
@@ -65,6 +84,7 @@ def _ivf_search_program(
     n_probe: int,
     budget: int,
     q_tile: int,
+    metric: str = "l2",
 ):
     nq_pad, d = queries.shape
     pad_row = vectors.shape[0] - 1  # always a zero row (layout pads n+1..)
@@ -73,13 +93,9 @@ def _ivf_search_program(
         q_sq = sq_norms(qt)
         # Coarse quantizer scan: one (q_tile, kc) matmul on the MXU — the
         # reference does this scalar per query (ivf_index.rs:204-213).
-        cross = jnp.dot(
-            qt,
-            centroids.T,
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-        dcoarse = q_sq[:, None] - 2.0 * cross + c_sq[None, :]
+        # ALWAYS L2: posting lists were built by L2 assignment, so cells must
+        # be probed by the same rule regardless of the ranking metric.
+        dcoarse = _score(qt, centroids, c_sq, q_sq, "l2")
         _, probe = jax.lax.top_k(-dcoarse, n_probe)  # (q_tile, n_probe)
 
         # Packed-CSR candidate rows: budget scales with the SUM of probed
@@ -92,8 +108,14 @@ def _ivf_search_program(
         cross2 = jnp.einsum(
             "qd,qcd->qc", qt, cand, precision=jax.lax.Precision.HIGHEST
         )
-        dist = q_sq[:, None] - 2.0 * cross2 + row_norms[rows_f]
-        dist = jnp.where(valid_f, jnp.maximum(dist, 0.0), jnp.inf)
+        if metric == "l2":
+            dist = jnp.maximum(
+                q_sq[:, None] - 2.0 * cross2 + row_norms[rows_f], 0.0
+            )
+        else:
+            norms_sel = row_norms[rows_f]
+            dist = -cross2 + jnp.where(norms_sel >= 1e29, norms_sel, 0.0)
+        dist = jnp.where(valid_f, dist, jnp.inf)
 
         dvals, ci = topk_smallest(dist, k)
         rows_sel = jnp.take_along_axis(rows_f, jnp.maximum(ci, 0), axis=1)
@@ -115,7 +137,7 @@ def pick_q_tile(nq: int, budget: int, d: int, mem_cap_bytes: int = 3 << 29) -> i
     return max(8, (qt // 8) * 8)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "q_tile", "approx"))
+@functools.partial(jax.jit, static_argnames=("k", "q_tile", "approx", "metric"))
 def _ivf_search_dense_program(
     queries,  # (nq_pad, d) f32, nq_pad % q_tile == 0
     centroids_ord,  # (kc, d) — centroid table REORDERED to layout-run order
@@ -128,6 +150,7 @@ def _ivf_search_dense_program(
     k: int,
     q_tile: int,
     approx: bool = False,
+    metric: str = "l2",
 ):
     """Masked dense path: full distance matmul over the cluster-sorted table,
     with unprobed clusters masked out — same result set as the gather path,
@@ -150,11 +173,8 @@ def _ivf_search_dense_program(
 
     def one_tile(qt):
         q_sq = sq_norms(qt)
-        cross = jnp.dot(
-            qt, centroids_ord.T, precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-        dcoarse = q_sq[:, None] - 2.0 * cross + c_sq_ord[None, :]
+        # ALWAYS L2 (assignment-consistent cell probing; see gather path).
+        dcoarse = _score(qt, centroids_ord, c_sq_ord, q_sq, "l2")
         # n_probe-th smallest coarse distance as the probe threshold; full
         # sort (kc is small) keeps n_probe traced -> no recompile per sweep
         # point.
@@ -172,16 +192,8 @@ def _ivf_search_dense_program(
         mask_b = jnp.cumsum(wall, axis=1) > 0.5
         mask = jnp.repeat(mask_b, ALIGN, axis=1)  # exact: runs are aligned
 
-        dist = (
-            q_sq[:, None]
-            - 2.0
-            * jnp.dot(
-                qt, vectors.T, precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
-            + row_norms[None, :]
-        )
-        dist = jnp.where(mask, jnp.maximum(dist, 0.0), jnp.inf)
+        dist = _score(qt, vectors, row_norms, q_sq, metric)
+        dist = jnp.where(mask, dist, jnp.inf)
         if approx:
             # Hardware PartialReduce selection: ~12x faster than exact top_k
             # at (256, 100k) -> 100 (measured 31ms -> 2.6ms per 1024-query
@@ -204,7 +216,7 @@ def _ivf_search_dense_program(
     return dvals.reshape(nq_pad, k), rows.reshape(nq_pad, k)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "q_tile", "approx"))
+@functools.partial(jax.jit, static_argnames=("k", "q_tile", "approx", "metric"))
 def _flat_search_program(
     queries,  # (nq_pad, d)
     vectors,  # (n_pad, d)
@@ -213,6 +225,7 @@ def _flat_search_program(
     k: int,
     q_tile: int,
     approx: bool,
+    metric: str = "l2",
 ):
     """Flat (exhaustive) search: the no-quantizer operating point. On TPU a
     full-table MXU sweep + hardware approx selection outruns IVF probing up
@@ -225,16 +238,7 @@ def _flat_search_program(
 
     def one_tile(qt):
         q_sq = sq_norms(qt)
-        dist = (
-            q_sq[:, None]
-            - 2.0
-            * jnp.dot(
-                qt, vectors.T, precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
-            + row_norms[None, :]
-        )
-        dist = jnp.maximum(dist, 0.0)
+        dist = _score(qt, vectors, row_norms, q_sq, metric)
         if approx:
             dvals, rows = jax.lax.approx_min_k(dist, k, recall_target=0.99)
         else:
@@ -253,8 +257,11 @@ def _flat_search_program(
 class IvfIndex:
     """Two-level IVF-Flat index with an HBM-resident posting layout."""
 
-    def __init__(self, dimension: int):
+    def __init__(self, dimension: int, metric: str = "l2"):
+        if metric not in ("l2", "ip", "cosine"):
+            raise ValueError(f"unsupported metric: {metric}")
         self.dimension = int(dimension)
+        self.metric = metric
         self.centroids = np.zeros((0, dimension), np.float32)
         self.centroids_to_shard = np.zeros(0, np.int32)
         self.num_shards = 0
@@ -277,11 +284,17 @@ class IvfIndex:
         nlist: Optional[int] = None,
         max_iters: Optional[int] = None,
         refine_iters: int = 2,
+        metric: str = "l2",
     ) -> "IvfIndex":
         n = len(store)
         if n == 0:
             raise ValueError("no vectors provided")
         data = store.get_vectors()
+        if metric == "cosine":
+            # Cosine reduces to inner product over unit vectors; stored
+            # payloads are the normalized vectors.
+            norms = np.linalg.norm(data, axis=1, keepdims=True)
+            data = (data / np.maximum(norms, 1e-12)).astype(np.float32)
         dim = data.shape[1]
         k = nlist if nlist is not None else calculate_num_clusters(n)
         k = max(1, min(k, n))
@@ -321,7 +334,7 @@ class IvfIndex:
         old_to_new[keep] = np.arange(len(keep))
         new_labels = old_to_new[labels]
 
-        idx = cls(dim)
+        idx = cls(dim, metric=metric)
         idx.centroids = centroids[keep]
         idx.centroids_to_shard = shard_labels_all[keep].astype(np.int32)
         idx.num_shards = num_shards
@@ -413,14 +426,26 @@ class IvfIndex:
                 f"query dimension mismatch: expected {self.dimension}, got {d}"
             )
 
+        metric = self.metric if self.metric != "cosine" else "ip"
+
         def pad_to(q_tile):
             # Pre-staged device queries (serving hot loop) pad on device; the
             # numpy path pads host-side before the single h2d transfer.
             nq_pad = _round_up(nq, q_tile)
             if staged:
-                return jnp.pad(queries, ((0, nq_pad - nq), (0, 0)))
+                q = queries
+                if self.metric == "cosine":
+                    q = q / jnp.maximum(
+                        jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12
+                    )
+                return jnp.pad(q, ((0, nq_pad - nq), (0, 0)))
+            q = queries
+            if self.metric == "cosine":
+                q = q / np.maximum(
+                    np.linalg.norm(q, axis=1, keepdims=True), 1e-12
+                )
             qp = np.zeros((nq_pad, d), np.float32)
-            qp[:nq] = queries
+            qp[:nq] = q
             return jnp.asarray(qp)
 
         n_probe = min(n_probe, self.num_clusters)
@@ -442,6 +467,7 @@ class IvfIndex:
                 k=k,
                 q_tile=q_tile,
                 approx=(method == "flat" and lay.n > 50_000),
+                metric=metric,
             )
         if method in ("dense", "dense_exact"):
             run_starts_b, centroids_ord, c_sq_ord = self._run_tables()
@@ -461,7 +487,10 @@ class IvfIndex:
                 k=k,
                 q_tile=q_tile,
                 approx=approx,
+                metric=metric,
             )
+        if method == "gather_dma" and metric != "l2":
+            method = "gather"  # the DMA kernel is l2-only for now
         if method == "gather_dma":
             # Range-DMA Pallas kernel: one contiguous HBM->VMEM DMA per
             # probed posting list (the hardware analogue of the reference's
@@ -508,6 +537,7 @@ class IvfIndex:
             n_probe=n_probe,
             budget=budget,
             q_tile=q_tile,
+            metric=metric,
         )
 
     def _run_tables(self):

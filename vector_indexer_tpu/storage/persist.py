@@ -53,13 +53,14 @@ def save_index(index, index_dir, shards_dir=None) -> None:
     dim = index.dimension
     n_total = index.layout.n if index.layout is not None else 0
 
+    metric_id = {"l2": 0, "ip": 1, "cosine": 2}[getattr(index, "metric", "l2")]
     body = _IDX_HEADER.pack(
         INDEX_MAGIC,
         INDEX_VERSION,
         dim,
         kc,
         index.num_shards,
-        0,
+        metric_id,
         n_total,
         0,
         0,
@@ -123,8 +124,8 @@ def load_index(index_dir, shards_dir=None):
         buf = f.read()
     if len(buf) < 40:
         raise ShardFormatError(f"{p}: truncated index header")
-    magic, version, dim, kc, num_shards, _, n_total, crc, _ = _IDX_HEADER.unpack_from(
-        buf, 0
+    magic, version, dim, kc, num_shards, metric_id, n_total, crc, _ = (
+        _IDX_HEADER.unpack_from(buf, 0)
     )
     if magic != INDEX_MAGIC:
         raise ShardFormatError(f"{p}: bad index magic")
@@ -142,6 +143,7 @@ def load_index(index_dir, shards_dir=None):
     idx.centroids = cent.copy()
     idx.centroids_to_shard = c2s.copy()
     idx.num_shards = num_shards
+    idx.metric = {0: "l2", 1: "ip", 2: "cosine"}.get(metric_id, "l2")
 
     if shards_dir is not None:
         _stage_shards(idx, shards_dir, n_total)
