@@ -163,3 +163,30 @@ def test_concurrent_reads(tmp_path):
 
     with concurrent.futures.ThreadPoolExecutor(4) as ex:
         assert all(ex.map(work, range(4)))
+
+
+def test_corruption_fuzz_never_crashes(tmp_path, rng):
+    # Any byte-level corruption must surface as ShardFormatError (or parse
+    # cleanly if it misses validated fields) — never a crash or hang.
+    clusters = [_mk_cluster(i, 8, 12, seed=i) for i in range(3)]
+    save_shard(Shard(id=2, dimension=8, clusters=clusters), tmp_path)
+    p = shard_path(tmp_path, 2)
+    raw = bytearray(p.read_bytes())
+    for trial in range(50):
+        bad = bytearray(raw)
+        for _ in range(rng.integers(1, 4)):
+            pos = int(rng.integers(0, len(bad)))
+            bad[pos] ^= int(rng.integers(1, 256))
+        p.write_bytes(bytes(bad))
+        try:
+            load_shard_from_disk(p)
+        except ShardFormatError:
+            pass
+    # Truncation fuzz.
+    for trial in range(20):
+        cut = int(rng.integers(0, len(raw)))
+        p.write_bytes(bytes(raw[:cut]))
+        try:
+            load_shard_from_disk(p)
+        except ShardFormatError:
+            pass
