@@ -84,3 +84,14 @@ def test_api_metric_roundtrip(tmp_path):
     assert index2._indexer.index.metric == "cosine"
     D2, I2 = index2.search_sync(xb[:4] * 3.0, 3, 8)
     np.testing.assert_array_equal(I, I2)
+
+
+def test_spherical_kmeans_unit_centroids():
+    from vector_indexer_tpu.models import run_kmeans_mini_batch
+
+    g = np.random.default_rng(9)
+    d = g.normal(size=(500, 12)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    res = run_kmeans_mini_batch(d, 8, 30, seed=1, spherical=True)
+    norms = np.linalg.norm(np.asarray(res.centroids), axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)

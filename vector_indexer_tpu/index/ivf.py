@@ -303,7 +303,8 @@ class IvfIndex:
 
         with trace("fit.kmeans", n=n, k=k):
             kres = run_kmeans_mini_batch(
-                data, k, iters, seed=seed, refine_iters=refine_iters
+                data, k, iters, seed=seed, refine_iters=refine_iters,
+                spherical=(metric == "cosine"),
             )
         log.info(
             "fit.kmeans: %d iterations, converged=%s", kres.iterations, kres.converged

@@ -313,8 +313,11 @@ def _rms_delta(curr: jax.Array, prev: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_iters", "chunk"))
-def _lloyd_loop(data, init_centroids, key, k, max_iters, tol, chunk):
+@functools.partial(
+    jax.jit, static_argnames=("k", "max_iters", "chunk", "spherical")
+)
+def _lloyd_loop(data, init_centroids, key, k, max_iters, tol, chunk,
+                spherical=False):
     n, d = data.shape
     tiles, n_pad = _pad_tiles(data, chunk)
     num_tiles = n_pad // chunk
@@ -350,6 +353,12 @@ def _lloyd_loop(data, init_centroids, key, k, max_iters, tol, chunk):
             (counts > 0)[:, None], sums / jnp.maximum(counts, 1.0)[:, None], centroids
         )
         new_c = _repair_empty(krep, new_c, counts, data)
+        if spherical:
+            # Spherical k-means: centroids live on the unit sphere, so
+            # L2 assignment == cosine assignment for unit data.
+            new_c = new_c / jnp.maximum(
+                jnp.linalg.norm(new_c, axis=1, keepdims=True), 1e-12
+            )
         delta = _rms_delta(new_c, centroids)
         return new_c, key, it + 1, delta, delta < tol
 
@@ -365,15 +374,19 @@ def run_kmeans_lloyd(
     early_stop_threshold: Optional[float] = _DEFAULT_TOL,
     seed: int = 42,
     chunk: int = _ASSIGN_CHUNK,
+    spherical: bool = False,
 ) -> KMeansResult:
-    """Full-batch Lloyd (parity: run_kmeans_parallel, kmeans.rs:15-60)."""
+    """Full-batch Lloyd (parity: run_kmeans_parallel, kmeans.rs:15-60).
+
+    ``spherical=True`` renormalizes centroids each step (cosine builds)."""
     data = _check_data(data)
     tol = _DEFAULT_TOL if early_stop_threshold is None else early_stop_threshold
     init = kmeans_plus_plus_init(data, k, seed=seed)
     key = jax.random.PRNGKey(np.uint32(seed ^ 0x5EED))
     chunk = min(chunk, max(8, data.shape[0]))
     centroids, iters, converged = _lloyd_loop(
-        data, init, key, k, max_iters, jnp.float32(tol), chunk
+        data, init, key, k, max_iters, jnp.float32(tol), chunk,
+        spherical=spherical,
     )
     labels, _ = assign_points(data, centroids, chunk=chunk)
     return KMeansResult(centroids, labels, int(iters), bool(converged))
@@ -384,8 +397,11 @@ def run_kmeans_lloyd(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_iters", "batch_size"))
-def _mini_batch_loop(data, init_centroids, key, k, max_iters, tol, batch_size):
+@functools.partial(
+    jax.jit, static_argnames=("k", "max_iters", "batch_size", "spherical")
+)
+def _mini_batch_loop(data, init_centroids, key, k, max_iters, tol, batch_size,
+                     spherical=False):
     n, d = data.shape
 
     def cond(carry):
@@ -419,6 +435,10 @@ def _mini_batch_loop(data, init_centroids, key, k, max_iters, tol, batch_size):
         new_c = jnp.where(hit[:, None], (1.0 - eta) * centroids + eta * mean, centroids)
 
         new_c = _repair_empty(krep, new_c, new_counts, data)
+        if spherical:
+            new_c = new_c / jnp.maximum(
+                jnp.linalg.norm(new_c, axis=1, keepdims=True), 1e-12
+            )
         delta = _rms_delta(new_c, centroids)
         return new_c, new_counts, key, it + 1, delta, delta < tol
 
@@ -443,6 +463,7 @@ def run_kmeans_mini_batch(
     batch_size: Optional[int] = None,
     chunk: int = _ASSIGN_CHUNK,
     refine_iters: int = 0,
+    spherical: bool = False,
 ) -> KMeansResult:
     """Mini-batch k-means (parity: run_kmeans_mini_batch, kmeans.rs:64-150).
 
@@ -466,13 +487,15 @@ def run_kmeans_mini_batch(
     init = kmeans_plus_plus_init(data, k, seed=seed)
     key = jax.random.PRNGKey(np.uint32(seed ^ 0xB47C4))
     centroids, iters, converged = _mini_batch_loop(
-        data, init, key, k, max_iters, jnp.float32(tol), batch_size
+        data, init, key, k, max_iters, jnp.float32(tol), batch_size,
+        spherical=spherical,
     )
     chunk = min(chunk, max(8, n))
     if refine_iters > 0:
         key2 = jax.random.PRNGKey(np.uint32(seed ^ 0x5EF1E))
         centroids, _, _ = _lloyd_loop(
-            data, centroids, key2, k, refine_iters, jnp.float32(0.0), chunk
+            data, centroids, key2, k, refine_iters, jnp.float32(0.0), chunk,
+            spherical=spherical,
         )
     labels, _ = assign_points(data, centroids, chunk=chunk)
     return KMeansResult(centroids, labels, int(iters), bool(converged))
