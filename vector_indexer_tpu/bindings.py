@@ -78,12 +78,22 @@ class VectorIndex:
             xq, min(k, cfg.max_k), min(n_probe, cfg.max_n_probe), method
         )
 
-    def stage_queries(self, xq):
+    def stage_queries(self, xq, pad_to: int = 512):
         """Transfer a query batch to device HBM once; pass the handle to
-        ``search_device`` to keep repeated searches free of h2d traffic."""
+        ``search_device`` to keep repeated searches free of h2d traffic.
+        Rows are padded to a tile-aligned multiple (zero rows) so the hot
+        loop dispatches the search program alone."""
         import jax.numpy as jnp
 
-        return jnp.asarray(np.ascontiguousarray(xq, dtype=np.float32))
+        xq = np.ascontiguousarray(xq, dtype=np.float32)
+        if pad_to > 1:
+            n = xq.shape[0]
+            n_pad = -(-n // pad_to) * pad_to
+            if n_pad != n:
+                xq = np.concatenate(
+                    [xq, np.zeros((n_pad - n, xq.shape[1]), np.float32)]
+                )
+        return jnp.asarray(xq)
 
     def rows_to_external(self, rows) -> np.ndarray:
         """Map device layout rows (from search_device) to external ids."""

@@ -439,6 +439,8 @@ class IvfIndex:
                     q = q / jnp.maximum(
                         jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12
                     )
+                if nq_pad == nq:
+                    return q  # already tile-aligned: zero extra dispatches
                 return jnp.pad(q, ((0, nq_pad - nq), (0, 0)))
             q = queries
             if self.metric == "cosine":
