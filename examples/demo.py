@@ -21,7 +21,13 @@ def main() -> None:
     p.add_argument("--count", type=int, default=50_000)
     p.add_argument("--dim", type=int, default=128)
     p.add_argument("--work-dir", default="demo_work")
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = p.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import vector_indexer_tpu as vx
     from vector_indexer_tpu.utils import generate_test_vectors

@@ -148,3 +148,35 @@ def test_direct_index_persistence_roundtrip(tmp_path):
     assert res[0][0] == 1000  # external id preserved
     # timestamps preserved through shard roundtrip
     assert back.timestamps[0] == 5
+
+
+def test_per_cluster_query_correctness():
+    # parity: integration_tests.rs:241-306 — querying a true cluster center
+    # returns members of that cluster.
+    data, labels, centers = make_gaussian_clusters(
+        6, 80, 12, spread=0.2, separation=10.0
+    )
+    store = VectorStore(
+        external_ids=np.arange(len(data), dtype=np.uint64), vectors=data
+    )
+    idx = IvfIndex.fit(store, seed=4)
+    for t in range(6):
+        res = idx.search(centers[t], k=10, n_probe=idx.num_clusters)
+        member_labels = [labels[ext] for ext, _, _ in res]
+        assert np.mean([m == t for m in member_labels]) > 0.9
+
+
+def test_demo_example_runs(tmp_path):
+    # The shipped demo must execute end-to-end (load-or-build + search).
+    import subprocess, sys, os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, "examples/demo.py", "--count", "400", "--dim", "8",
+         "--work-dir", str(tmp_path), "--cpu"],
+        capture_output=True, text=True, timeout=600, cwd=repo, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "external_id=" in out.stdout
