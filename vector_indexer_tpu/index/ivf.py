@@ -9,11 +9,13 @@ Build parity (/root/reference/src/ivf_index.rs:58-177):
   * centroid -> shard table retained as index metadata.
 
 Search redesign (reference: ivf_index.rs:190-267 streams shard files per
-query): one jitted device program per (k, n_probe, geometry) —
-  coarse distance matmul -> top-n_probe centroids -> static-window posting
-  row gather -> masked exact L2 re-rank -> top-k — batched over queries,
-which is the single biggest structural win over the reference's sequential
-per-query loop (bindings/python/src/lib.rs:74-97).
+query): batched static-shape device programs —
+  coarse L2 matmul -> top-n_probe cells -> candidate selection (packed-CSR
+  gather, block-masked dense sweep, exhaustive flat, or Pallas range-DMA)
+  -> exact metric ranking -> fused top-k
+— which is the single biggest structural win over the reference's sequential
+per-query loop (bindings/python/src/lib.rs:74-97). n_probe is traced in the
+dense paths, so one compile serves a whole nprobe sweep.
 """
 
 from __future__ import annotations
