@@ -99,3 +99,29 @@ def test_brute_force_high_dim(rng):
     q = db[:5] + 0.001
     vals, idx = brute_force_topk(jnp.asarray(q), jnp.asarray(db), 1)
     np.testing.assert_array_equal(np.asarray(idx).ravel(), np.arange(5))
+
+
+def test_candidate_budget():
+    from vector_indexer_tpu.ops.gather import candidate_budget
+
+    lens = np.array([10, 500, 20, 300, 5])
+    # top-2 longest: 500 + 300 = 800 -> rounded to 128-multiple
+    assert candidate_budget(lens, 2) == 896
+    assert candidate_budget(lens, 2, cap=256) == 256
+    assert candidate_budget(lens, 100) >= lens.sum()
+    assert candidate_budget(np.array([1]), 4) == 128  # min alignment
+
+
+def test_packed_candidate_rows_truncation():
+    import jax.numpy as jnp
+
+    from vector_indexer_tpu.ops.gather import packed_candidate_rows
+
+    starts = jnp.array([[0, 100]], dtype=jnp.int32)
+    lengths = jnp.array([[8, 8]], dtype=jnp.int32)
+    rows, valid = packed_candidate_rows(starts, lengths, budget=10, pad_row=999)
+    r = np.asarray(rows)[0]
+    # First probe fully packed, second truncated at the budget (nearest-first).
+    np.testing.assert_array_equal(r[:8], np.arange(8))
+    np.testing.assert_array_equal(r[8:10], [100, 101])
+    assert np.asarray(valid)[0].all()
