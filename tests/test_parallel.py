@@ -84,3 +84,26 @@ def test_dp_kmeans_quality():
     lbl = np.asarray(dp.labels)
     assert lbl.shape == (len(data),)
     assert lbl.min() >= 0 and lbl.max() < 6
+
+
+def test_2d_mesh_query_shard_parallel(built):
+    from vector_indexer_tpu.parallel.mesh2d import Sharded2DSearcher, make_mesh_2d
+
+    idx, data = built
+    mesh = make_mesh_2d(2, 4)
+    searcher = Sharded2DSearcher(idx, mesh)
+    q = data[:48]
+    D1, I1 = idx.search_batch(q, k=10, n_probe=idx.num_clusters)
+    D2, I2 = searcher.search_batch(q, k=10, n_probe=idx.num_clusters)
+    np.testing.assert_allclose(D1, D2, rtol=1e-3, atol=5e-4)
+    for a, b in zip(I1, I2):
+        assert set(a.tolist()) == set(b.tolist())
+
+
+def test_2d_mesh_self_hit(built):
+    from vector_indexer_tpu.parallel.mesh2d import Sharded2DSearcher, make_mesh_2d
+
+    idx, data = built
+    searcher = Sharded2DSearcher(idx, make_mesh_2d(4, 2))
+    D, I = searcher.search_batch(data[:16], k=5, n_probe=6)
+    assert (I[:, 0] == np.arange(16)).all()

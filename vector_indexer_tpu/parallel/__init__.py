@@ -11,6 +11,13 @@ single-chip path exactly.
 
 from .mesh import make_shard_mesh
 from .sharded import ShardedSearcher
+from .mesh2d import Sharded2DSearcher, make_mesh_2d
 from .dp_kmeans import run_kmeans_lloyd_dp
 
-__all__ = ["make_shard_mesh", "ShardedSearcher", "run_kmeans_lloyd_dp"]
+__all__ = [
+    "make_shard_mesh",
+    "ShardedSearcher",
+    "Sharded2DSearcher",
+    "make_mesh_2d",
+    "run_kmeans_lloyd_dp",
+]

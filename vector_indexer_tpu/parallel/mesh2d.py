@@ -1,0 +1,130 @@
+"""2-D mesh search: query-parallel x shard-parallel.
+
+Scaling both axes at once (survey §2c-4/6): posting shards partition HBM
+across the ``shards`` mesh axis (the expert/data-placement axis), while the
+query batch splits across the ``queries`` axis (data parallelism). Each
+device searches its query slice against its shard slice; the top-k merge
+``all_gather`` runs over the ``shards`` axis only — queries never talk to
+each other, so the collective rides the inner (fastest) ICI ring.
+
+On an (Q, S) mesh this multiplies single-chip throughput by ~Q while
+dividing per-chip HBM footprint by S — the pod-level serving layout.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .sharded import ShardedSearcher, _round_up
+
+
+def make_mesh_2d(
+    q_devices: int, shard_devices: int, q_axis: str = "queries",
+    shard_axis: str = "shards"
+) -> Mesh:
+    devices = jax.devices()
+    need = q_devices * shard_devices
+    if need > len(devices):
+        raise ValueError(
+            f"requested {need} devices but only {len(devices)} available"
+        )
+    grid = np.array(devices[:need]).reshape(q_devices, shard_devices)
+    return Mesh(grid, (q_axis, shard_axis))
+
+
+class Sharded2DSearcher:
+    """Query x shard parallel search over a 2-D mesh.
+
+    Implementation: the shard dimension reuses ShardedSearcher's per-device
+    tables and program (built on a 1-D view of the shard axis); the query
+    dimension is pure data parallelism — the replicated-query input spec
+    becomes P('queries') so each shard-row of the mesh processes its own
+    query slice.
+    """
+
+    def __init__(self, index, mesh: Mesh, q_axis: str = "queries",
+                 shard_axis: str = "shards"):
+        self.mesh = mesh
+        self.q_axis = q_axis
+        self.shard_axis = shard_axis
+        self.index = index
+        # Build shard-partitioned tables over the shard axis size; the
+        # resulting host arrays are placed on the 2-D mesh with the shard
+        # dimension mapped to shard_axis and replicated over q_axis.
+        n_shard_dev = mesh.shape[shard_axis]
+        inner = ShardedSearcher.__new__(ShardedSearcher)
+        # Reuse the 1-D constructor logic against a temporary 1-D mesh of
+        # the same shard-axis device count, then re-place the arrays.
+        tmp_mesh = Mesh(np.array(jax.devices()[:n_shard_dev]), (shard_axis,))
+        ShardedSearcher.__init__(inner, index, tmp_mesh, axis=shard_axis)
+        self._inner = inner
+
+        sh = NamedSharding(mesh, P(shard_axis))  # replicated over q_axis
+        self.local_vecs = jax.device_put(np.asarray(inner.local_vecs), sh)
+        self.local_norms = jax.device_put(np.asarray(inner.local_norms), sh)
+        self.local_cent = jax.device_put(np.asarray(inner.local_cent), sh)
+        self.local_csq = jax.device_put(np.asarray(inner.local_csq), sh)
+        self.local_run_starts_b = jax.device_put(
+            np.asarray(inner.local_run_starts_b), sh
+        )
+        repl = NamedSharding(mesh, P())
+        self.centroids = jax.device_put(np.asarray(inner.centroids), repl)
+        self.c_sq = jax.device_put(np.asarray(inner.c_sq), repl)
+        self.local_perm = inner.local_perm
+
+    def search_batch(
+        self, queries: np.ndarray, k: int, n_probe: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        if k <= 0:
+            raise ValueError("k must be > 0")
+        if n_probe <= 0:
+            raise ValueError("n_probe must be > 0")
+        queries = np.ascontiguousarray(queries, np.float32)
+        if queries.ndim == 1:
+            queries = queries[None, :]
+        nq, d = queries.shape
+        if d != self.index.dimension:
+            raise ValueError(
+                f"query dimension mismatch: expected {self.index.dimension}, got {d}"
+            )
+        kc = self.centroids.shape[0]
+        n_probe = min(n_probe, kc)
+        nq_dev = self.mesh.shape[self.q_axis]
+        nq_pad = _round_up(nq, 8 * nq_dev)
+        qp = np.zeros((nq_pad, d), np.float32)
+        qp[:nq] = queries
+
+        import jax.numpy as jnp
+
+        from .sharded import _sharded_search_program_2d
+
+        D, rows, devs = _sharded_search_program_2d(
+            self.mesh,
+            self.q_axis,
+            self.shard_axis,
+            jax.device_put(
+                jnp.asarray(qp), NamedSharding(self.mesh, P(self.q_axis))
+            ),
+            self.centroids,
+            self.c_sq,
+            self.local_vecs,
+            self.local_norms,
+            self.local_cent,
+            self.local_csq,
+            self.local_run_starts_b,
+            jnp.int32(n_probe),
+            k=k,
+        )
+        D = np.asarray(D)[:nq]
+        rows = np.asarray(rows)[:nq]
+        devs = np.asarray(devs)[:nq]
+        internal = np.where(
+            rows >= 0,
+            self.local_perm[np.clip(devs, 0, None), np.clip(rows, 0, None)],
+            -1,
+        )
+        return D, internal

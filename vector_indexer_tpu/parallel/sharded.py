@@ -181,23 +181,8 @@ class ShardedSearcher:
         return D, internal
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "axis", "k"))
-def _sharded_search_program(
-    mesh,
-    axis,
-    queries,  # (nq, d) replicated
-    centroids,  # (kc, d) replicated — GLOBAL coarse table
-    c_sq,  # (kc,) replicated
-    local_vecs,  # (n_dev, rows, d) sharded on axis, block-aligned runs
-    local_norms,  # (n_dev, rows) sharded; SENTINEL_NORM on pads
-    local_cent,  # (n_dev, kc_local, d) sharded — local run-order centroids
-    local_csq,  # (n_dev, kc_local) sharded; +inf on pads
-    local_run_starts_b,  # (n_dev, kc_local) sharded — local run blocks
-    n_probe,  # () int32 traced
-    *,
-    k: int,
-):
-    n_dev = mesh.shape[axis]
+def _make_per_device(centroids, c_sq, n_probe, k, axis, n_dev):
+    """Per-device search body shared by the 1-D and 2-D mesh programs."""
 
     def per_device(q, vecs, norms, cent_l, csq_l, rsb):
         vecs, norms = vecs[0], norms[0]
@@ -267,13 +252,80 @@ def _sharded_search_program(
         dvfin = jnp.where(jnp.isfinite(dfin), dvfin, -1)
         return dfin, rfin, dvfin
 
+    return per_device
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "axis", "k"))
+def _sharded_search_program(
+    mesh,
+    axis,
+    queries,  # (nq, d) replicated
+    centroids,  # (kc, d) replicated — GLOBAL coarse table
+    c_sq,  # (kc,) replicated
+    local_vecs,  # (n_dev, rows, d) sharded on axis, block-aligned runs
+    local_norms,  # (n_dev, rows) sharded; SENTINEL_NORM on pads
+    local_cent,  # (n_dev, kc_local, d) sharded — local run-order centroids
+    local_csq,  # (n_dev, kc_local) sharded; +inf on pads
+    local_run_starts_b,  # (n_dev, kc_local) sharded — local run blocks
+    n_probe,  # () int32 traced
+    *,
+    k: int,
+):
     from jax.experimental.shard_map import shard_map
 
+    per_device = _make_per_device(
+        centroids, c_sq, n_probe, k, axis, mesh.shape[axis]
+    )
     fn = shard_map(
         per_device,
         mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
         out_specs=(P(), P(), P()),
+        check_rep=False,
+    )
+    return fn(
+        queries, local_vecs, local_norms, local_cent, local_csq,
+        local_run_starts_b,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "q_axis", "shard_axis", "k"))
+def _sharded_search_program_2d(
+    mesh,
+    q_axis,
+    shard_axis,
+    queries,  # (nq, d) SHARDED over q_axis
+    centroids,
+    c_sq,
+    local_vecs,  # sharded over shard_axis, replicated over q_axis
+    local_norms,
+    local_cent,
+    local_csq,
+    local_run_starts_b,
+    n_probe,
+    *,
+    k: int,
+):
+    """Query-parallel x shard-parallel search: each (q, s) device handles its
+    query slice against its shard slice; the top-k merge all_gather runs over
+    the shard axis only."""
+    from jax.experimental.shard_map import shard_map
+
+    per_device = _make_per_device(
+        centroids, c_sq, n_probe, k, shard_axis, mesh.shape[shard_axis]
+    )
+    fn = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(
+            P(q_axis),
+            P(shard_axis),
+            P(shard_axis),
+            P(shard_axis),
+            P(shard_axis),
+            P(shard_axis),
+        ),
+        out_specs=(P(q_axis), P(q_axis), P(q_axis)),
         check_rep=False,
     )
     return fn(
