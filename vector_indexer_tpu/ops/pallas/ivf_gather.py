@@ -1,16 +1,20 @@
 """IVF posting-list gather+distance kernel (range-DMA based).
 
 The TPU-native descendant of the reference's io_uring selective cluster-block
-reads (/root/reference/src/shards.rs:255-272): each probed posting list is
-one CONTIGUOUS row range of the HBM layout, so the kernel pulls it with
-chunked async DMAs (HBM -> VMEM) — bulk sequential transfers instead of the
-per-row gather XLA emits for ``vectors[rows]`` (measured ~8 GB/s effective;
-contiguous DMA streams at full HBM bandwidth). Distances are computed on the
-MXU against the query tile and written into the query's packed candidate
-slots; top-k selection runs outside on the (nq, budget) result.
+reads (/root/reference/src/shards.rs:255-272): each probed posting list is a
+CONTIGUOUS row range of the HBM layout, so the kernel pulls all of a query's
+probed lists with concurrent chunked async DMAs (HBM -> VMEM) — bulk
+sequential transfers instead of the per-row gather XLA emits for
+``vectors[rows]`` (measured ~8 GB/s effective; contiguous DMA streams at full
+HBM bandwidth). Distances are computed on the MXU against the query and
+written into the query's packed candidate slots; top-k selection runs outside
+on the (nq, W) result.
 
-Grid: (queries, probes). Per program: one query row + one probed cluster.
-Scalar-prefetched (starts, lengths, slot offsets) drive the DMA addressing.
+Grid: (queries,). Per program: ONE query, ALL its probes — every probed
+list's DMAs are started before any wait, so transfer latency overlaps across
+probes (the analogue of the reference's join_all fan-out,
+ivf_index.rs:249). Scalar-prefetched (starts, offsets, lengths) drive the
+DMA addressing.
 """
 
 from __future__ import annotations
@@ -24,6 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _DMA_CHUNK = 512  # rows per sub-DMA; conditional chunks skip past len
+VMEM_SCRATCH_CAP = 12 * 1024 * 1024  # fallback guard for the caller
 
 
 def _round_up(x: int, m: int) -> int:
@@ -38,102 +43,83 @@ def _round_up_arr(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _kernel_factory(max_len_pad: int, d: int, budget_pad: int, chunk: int):
+def scratch_bytes(p: int, max_len: int, d: int) -> int:
+    """VMEM scratch the kernel would need; callers fall back to the XLA
+    gather when this exceeds VMEM_SCRATCH_CAP."""
+    chunk = _chunk_for(max_len)
+    return p * _round_up(max(max_len, 8), chunk) * d * 4
+
+
+def _kernel_factory(p: int, max_len_pad: int, d: int, budget_pad: int, chunk: int):
     nchunk = max_len_pad // chunk
 
     def kernel(
         starts_ref,  # (nq, p) int32  [scalar prefetch]
-        offs_ref,  # (nq, p) int32 — exclusive prefix sums of lengths
+        offs_ref,  # (nq, p) int32 — 128-aligned packed slot offsets
         lens_ref,  # (nq, p) int32
         q_ref,  # (1, 1, d) VMEM — this query
         vec_ref,  # (n_pad, d) ANY/HBM — full table
-        out_d_ref,  # (1, 1, budget_pad) VMEM — packed distances (revisited)
-        out_r_ref,  # (1, 1, budget_pad) VMEM — packed rows (revisited)
-        scratch,  # (2, max_len_pad, d) VMEM — double buffer
-        sems,  # DMA semaphores (2, nchunk)
+        out_d_ref,  # (1, 1, budget_pad) VMEM
+        out_r_ref,  # (1, 1, budget_pad) VMEM
+        scratch,  # (p, max_len_pad, d) VMEM
+        sems,  # DMA semaphores (p, nchunk)
     ):
         i = pl.program_id(0)
-        j = pl.program_id(1)
-        p = pl.num_programs(1)
-        nq = pl.num_programs(0)
-        g = i * p + j  # global probe index; grid executes in this order
-        slot = jax.lax.rem(g, 2)
-        nslot = jax.lax.rem(g + 1, 2)
 
-        @pl.when(j == 0)
-        def _():
-            out_d_ref[:] = jnp.full_like(out_d_ref, jnp.inf)
-            out_r_ref[:] = jnp.full_like(out_r_ref, -1)
+        out_d_ref[:] = jnp.full_like(out_d_ref, jnp.inf)
+        out_r_ref[:] = jnp.full_like(out_r_ref, -1)
 
-        start = starts_ref[i, j]
-        ln = lens_ref[i, j]
-        # Lane-aligned slot base, clamped so overflow degrades to overwrites
-        # of earlier (nearer) probes rather than OOB stores.
-        off = pl.multiple_of(
-            jnp.minimum(offs_ref[i, j], budget_pad - max_len_pad), 128
-        )
-
-        def dma(s, st, c):
+        def dma(j, c, start):
             return pltpu.make_async_copy(
-                vec_ref.at[pl.ds(st + c * chunk, chunk), :],
-                scratch.at[s, pl.ds(c * chunk, chunk), :],
-                sems.at[s, c],
+                vec_ref.at[pl.ds(start + c * chunk, chunk), :],
+                scratch.at[j, pl.ds(c * chunk, chunk), :],
+                sems.at[j, c],
             )
 
-        # Warm-up: the very first probe fetches its own lists (no overlap).
-        @pl.when(g == 0)
-        def _():
+        # Fan out: start EVERY probe's chunked DMAs before waiting on any —
+        # transfers for all probed lists stream concurrently.
+        for j in range(p):
+            start = starts_ref[i, j]
+            ln = lens_ref[i, j]
             for c in range(nchunk):
                 @pl.when(c * chunk < ln)
-                def _(c=c):
-                    dma(slot, start, c).start()
+                def _(j=j, c=c, start=start):
+                    dma(j, c, start).start()
 
-        # Pipeline: prefetch probe g+1's lists into the other buffer while
-        # this probe's distance ranking runs (the double-buffering pattern;
-        # grid programs execute sequentially so the DMA overlaps compute).
-        last = nq * p - 1
-
-        @pl.when(g < last)
-        def _():
-            i1 = jax.lax.div(g + 1, p)
-            j1 = jax.lax.rem(g + 1, p)
-            st1 = starts_ref[i1, j1]
-            ln1 = lens_ref[i1, j1]
+        for j in range(p):
+            start = starts_ref[i, j]
+            ln = lens_ref[i, j]
             for c in range(nchunk):
-                @pl.when(c * chunk < ln1)
-                def _(c=c):
-                    dma(nslot, st1, c).start()
+                @pl.when(c * chunk < ln)
+                def _(j=j, c=c, start=start):
+                    dma(j, c, start).wait()
 
-        # Wait for this probe's buffer (started by the previous program, or
-        # by the warm-up above for g==0); table tail padding keeps every
-        # full-chunk read in bounds.
-        for c in range(nchunk):
-            @pl.when(c * chunk < ln)
-            def _(c=c):
-                pltpu.make_async_copy(
-                    vec_ref.at[pl.ds(start + c * chunk, chunk), :],
-                    scratch.at[slot, pl.ds(c * chunk, chunk), :],
-                    sems.at[slot, c],
-                ).wait()
-
+        # One MXU matvec over all probes' rows at once.
         q = q_ref[0]  # (1, d)
-        x = scratch[slot]  # (max_len_pad, d)
+        x = scratch[:].reshape(p * max_len_pad, d)
         cross = jax.lax.dot_general(
             x, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )[:, 0]  # (max_len_pad,)
+        )[:, 0]
         norms = jnp.sum(x * x, axis=1)
         q_sq = jnp.sum(q * q)
-        dist = jnp.maximum(q_sq - 2.0 * cross + norms, 0.0)
+        dist_all = jnp.maximum(q_sq - 2.0 * cross + norms, 0.0)
+        idx_all = jax.lax.broadcasted_iota(jnp.int32, (p * max_len_pad, 1), 0)[:, 0]
 
-        idx = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], 1), 0)[:, 0]
-        valid = idx < ln
-        dist = jnp.where(valid, dist, jnp.inf)
-        rows = jnp.where(valid, start + idx, -1)
-        # Write this probe's packed slot window; tail beyond ln is inf/-1 and
-        # is rewritten by later probes (ascending offsets), the global tail
-        # stays at the j==0 initialization.
-        out_d_ref[0, 0, pl.ds(off, x.shape[0])] = dist
-        out_r_ref[0, 0, pl.ds(off, x.shape[0])] = rows
+        for j in range(p):
+            ln = lens_ref[i, j]
+            off = pl.multiple_of(
+                jnp.minimum(offs_ref[i, j], budget_pad - max_len_pad), 128
+            )
+            start = starts_ref[i, j]
+            seg = slice(j * max_len_pad, (j + 1) * max_len_pad)
+            local_idx = idx_all[seg] - j * max_len_pad
+            valid = local_idx < ln
+            out_d_ref[0, 0, pl.ds(off, max_len_pad)] = jnp.where(
+                valid, dist_all[seg], jnp.inf
+            )
+            out_r_ref[0, 0, pl.ds(off, max_len_pad)] = jnp.where(
+                valid, start + local_idx, -1
+            )
 
     return kernel, nchunk
 
@@ -143,7 +129,7 @@ def _kernel_factory(max_len_pad: int, d: int, budget_pad: int, chunk: int):
 )
 def ivf_gather_distances(
     queries,  # (nq, d) f32
-    vectors,  # (n_pad, d) f32, tail-padded by >= max_len rows
+    vectors,  # (n_pad, d) f32, tail-padded by >= round_up(max_len, 512) rows
     starts,  # (nq, p) int32 — probed cluster start rows
     lengths,  # (nq, p) int32
     *,
@@ -169,26 +155,26 @@ def ivf_gather_distances(
     offs = jnp.cumsum(lens_al, axis=1) - lens_al  # exclusive prefix sums
     budget_pad = _round_up(budget + p * 128 + max_len_pad, 128)
 
-    kernel, nchunk = _kernel_factory(max_len_pad, d, budget_pad, chunk)
+    kernel, nchunk = _kernel_factory(p, max_len_pad, d, budget_pad, chunk)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(nq, p),
+        grid=(nq,),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, d), lambda i, j, *_: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, 1, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, budget_pad), lambda i, j, *_: (i, 0, 0),
+            pl.BlockSpec((1, 1, budget_pad), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, budget_pad), lambda i, j, *_: (i, 0, 0),
+            pl.BlockSpec((1, 1, budget_pad), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, max_len_pad, d), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, nchunk)),
+            pltpu.VMEM((p, max_len_pad, d), jnp.float32),
+            pltpu.SemaphoreType.DMA((p, nchunk)),
         ],
     )
     dist, rows = pl.pallas_call(
