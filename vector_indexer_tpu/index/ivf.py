@@ -494,8 +494,18 @@ class IvfIndex:
                 approx=approx,
                 metric=metric,
             )
-        if method == "gather_dma" and metric != "l2":
-            method = "gather"  # the DMA kernel is l2-only for now
+        if method == "gather_dma":
+            from ..ops.pallas.ivf_gather import (
+                VMEM_SCRATCH_CAP,
+                scratch_bytes,
+            )
+
+            if metric != "l2" or scratch_bytes(
+                n_probe, max(1, lay.max_list_len), d
+            ) > VMEM_SCRATCH_CAP:
+                # The DMA kernel is l2-only and needs (p, max_len, d) f32 of
+                # VMEM scratch; fall back to the XLA gather otherwise.
+                method = "gather"
         if method == "gather_dma":
             # Range-DMA Pallas kernel: one contiguous HBM->VMEM DMA per
             # probed posting list (the hardware analogue of the reference's
