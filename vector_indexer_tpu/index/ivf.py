@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.kmeans import run_kmeans_mini_batch
+from ..models.kmeans import run_kmeans_lloyd, run_kmeans_mini_batch
 from ..ops.distance import sq_norms
 from ..ops.gather import candidate_budget, packed_candidate_rows
 from ..ops.topk import topk_smallest
@@ -218,6 +218,85 @@ def _ivf_search_dense_program(
     return dvals.reshape(nq_pad, k), rows.reshape(nq_pad, k)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "n_probe", "t_pad", "t_max_q", "q_tile", "approx", "rerank",
+        "metric", "interpret",
+    ),
+)
+def _ivf_search_stream_program(
+    queries,  # (nq_pad, d) f32, nq_pad % q_tile == 0
+    centroids,  # (kc, d) f32
+    c_sq,  # (kc,) f32
+    stream_table,  # ops.pallas.block_stream.StreamTable (pytree)
+    main_vectors,  # (n_pad, d) f32 — exact re-rank source
+    main_row_norms,  # (n_pad,) f32
+    *,
+    k: int,
+    n_probe: int,
+    t_pad: int,
+    t_max_q: int,
+    q_tile: int,
+    approx: bool,
+    rerank: bool,
+    metric: str = "l2",
+    interpret: bool = False,
+):
+    """Probed-blocks-only search: coarse top-n_probe -> slot-major flat task
+    packing -> block-stream Pallas sweep -> top-k (-> optional exact f32
+    re-rank of the k winners when the stream table is bf16). Touches only
+    ~n_probe/nlist of the table — the path where IVF probing actually pays
+    on TPU (the dense path sweeps everything and masks).
+
+    Queries are tiled so each kernel call's scalar-prefetched flat task
+    arrays (3 x t_pad int32) fit SMEM.
+    """
+    from ..ops.pallas.block_stream import block_stream_search
+
+    nq_pad, d = queries.shape
+
+    def one_tile(qt):
+        q_sq = sq_norms(qt)
+        # ALWAYS L2 cell probing (assignment-consistent; see gather path).
+        dcoarse = _score(qt, centroids, c_sq, q_sq, "l2")
+        _, probe = jax.lax.top_k(-dcoarse, n_probe)  # (q_tile, n_probe)
+
+        # Low-precision selection keeps a 2k-wide shortlist for the exact
+        # re-rank, absorbing bf16 ordering noise near the k-th boundary.
+        kk = min(2 * k, t_max_q * 256) if rerank else k
+        dvals, rows = block_stream_search(
+            qt, stream_table, probe, kk,
+            t_pad=t_pad, t_max_q=t_max_q, metric=metric, approx=approx,
+            interpret=interpret,
+        )
+        if rerank:
+            # Exact f32 re-rank of the shortlist (selection ran on the
+            # stream table's dtype; distances recomputed from the main f32
+            # table — a (q_tile*2k)-row gather, tiny next to the sweep).
+            cand = main_vectors[jnp.maximum(rows, 0)]  # (q_tile, kk, d)
+            cross = jnp.einsum(
+                "qd,qkd->qk", qt, cand, precision=jax.lax.Precision.HIGHEST
+            )
+            if metric == "l2":
+                exact = jnp.maximum(
+                    q_sq[:, None] - 2.0 * cross
+                    + main_row_norms[jnp.maximum(rows, 0)],
+                    0.0,
+                )
+            else:
+                exact = -cross
+            exact = jnp.where(rows >= 0, exact, jnp.inf)
+            dvals, order = topk_smallest(exact, k)
+            rows = jnp.take_along_axis(rows, jnp.maximum(order, 0), axis=1)
+            rows = jnp.where((order >= 0) & jnp.isfinite(dvals), rows, -1)
+        return dvals, rows
+
+    tiles = queries.reshape(nq_pad // q_tile, q_tile, d)
+    dvals, rows = jax.lax.map(one_tile, tiles)
+    return dvals.reshape(nq_pad, k), rows.reshape(nq_pad, k)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "q_tile", "approx", "metric"))
 def _flat_search_program(
     queries,  # (nq_pad, d)
@@ -273,6 +352,10 @@ class IvfIndex:
         self.timestamps = np.zeros(0, np.uint64)
         # Device-side centroid table (built lazily).
         self._dev = None
+        # Stream-table dtype for method='stream' (bf16 halves the sweep's
+        # HBM bytes; winners are re-ranked exactly in f32).
+        self.stream_dtype = jnp.bfloat16
+        self._stream_tables: dict = {}
 
     # ------------------------------------------------------------------
     # Build
@@ -287,6 +370,7 @@ class IvfIndex:
         max_iters: Optional[int] = None,
         refine_iters: int = 2,
         metric: str = "l2",
+        trainer: str = "lloyd",
     ) -> "IvfIndex":
         n = len(store)
         if n == 0:
@@ -303,11 +387,26 @@ class IvfIndex:
         iters = max_iters if max_iters is not None else calculate_max_iterations(n)
         log.info("ivf.fit: n=%d dim=%d nlist=%d max_iters=%d", n, dim, k, iters)
 
+        # Default trainer is FULL-BATCH Lloyd: on the MXU a full assignment
+        # sweep is a tiled matmul (~1 TFLOP/iter at n=1M, k=4000 — cents),
+        # while the reference's CPU-era mini-batch operating point
+        # (batch = clamp(sqrt(n), 10, 256), kmeans.rs:83) cannot train
+        # nlist >> batch centroids: measured cluster-size skew E[l^2]/E[l]^2
+        # = 86 at n=100k (p50 size 1, whales of 8.5k), which poisons every
+        # probed-size-proportional search path. Lloyd brings skew to ~O(1).
+        # trainer="mini_batch" retains the reference's algorithm as an option.
         with trace("fit.kmeans", n=n, k=k):
-            kres = run_kmeans_mini_batch(
-                data, k, iters, seed=seed, refine_iters=refine_iters,
-                spherical=(metric == "cosine"),
-            )
+            if trainer == "lloyd":
+                kres = run_kmeans_lloyd(
+                    data, k, iters, seed=seed, spherical=(metric == "cosine")
+                )
+            elif trainer == "mini_batch":
+                kres = run_kmeans_mini_batch(
+                    data, k, iters, seed=seed, refine_iters=refine_iters,
+                    spherical=(metric == "cosine"),
+                )
+            else:
+                raise ValueError(f"unknown trainer: {trainer}")
         log.info(
             "fit.kmeans: %d iterations, converged=%s", kres.iterations, kres.converged
         )
@@ -321,9 +420,7 @@ class IvfIndex:
             shard_labels_all = np.arange(k, dtype=np.int64) % num_shards
         else:
             with trace("fit.super_kmeans", k=k, shards=num_shards):
-                sres = run_kmeans_mini_batch(
-                    centroids, num_shards, 100, seed=super_seed
-                )
+                sres = run_kmeans_lloyd(centroids, num_shards, 100, seed=super_seed)
             shard_labels_all = np.asarray(sres.labels).astype(np.int64)
 
         # Filter empty posting lists; densify centroid ids (order-preserving).
@@ -363,6 +460,19 @@ class IvfIndex:
             c = jnp.asarray(self.centroids, jnp.float32)
             self._dev = (c, sq_norms(c))
         return self._dev
+
+    def _stream_table(self, dtype):
+        """CHUNK-aligned stream table for the block-stream kernel (built
+        lazily per dtype; one-time device re-pack of the posting table)."""
+        dtype = jnp.dtype(dtype)
+        if dtype not in self._stream_tables:
+            from ..ops.pallas.block_stream import build_stream_table
+
+            with trace("stream_table.build", dtype=str(dtype)):
+                self._stream_tables[dtype] = build_stream_table(
+                    self.layout, self.centroids, dtype
+                )
+        return self._stream_tables[dtype]
 
     def _budget_for(self, n_probe: int) -> int:
         """Static packed-gather budget for n_probe (cached; exact, never
@@ -494,17 +604,61 @@ class IvfIndex:
                 approx=approx,
                 metric=metric,
             )
+        if method in ("stream", "stream_exact"):
+            from ..ops.pallas.block_stream import (
+                SMEM_TASK_CAP,
+                task_budget,
+            )
+
+            exact = method == "stream_exact"
+            st = self._stream_table(
+                jnp.float32 if exact else self.stream_dtype
+            )
+            lengths_np = np.asarray(lay.lengths)
+            # Tile queries so the flat task arrays fit SMEM.
+            q_tile = _round_up(min(nq, _QUERY_TILE), 8)
+            while True:
+                t_pad, t_max_q = task_budget(
+                    lengths_np, n_probe, q_tile, worst_case=exact
+                )
+                if t_pad <= SMEM_TASK_CAP or q_tile <= 8:
+                    break
+                q_tile = max(8, (q_tile // 2 + 7) // 8 * 8)
+            return _ivf_search_stream_program(
+                pad_to(q_tile),
+                centroids,
+                c_sq,
+                st,
+                lay.vectors,
+                lay.row_norms,
+                k=k,
+                n_probe=n_probe,
+                t_pad=t_pad,
+                t_max_q=t_max_q,
+                q_tile=q_tile,
+                approx=not exact,
+                rerank=(st.dtype != jnp.float32),
+                metric=metric,
+                interpret=jax.default_backend() == "cpu",
+            )
         if method == "gather_dma":
             from ..ops.pallas.ivf_gather import (
                 VMEM_SCRATCH_CAP,
                 scratch_bytes,
             )
 
-            if metric != "l2" or scratch_bytes(
-                n_probe, max(1, lay.max_list_len), d
-            ) > VMEM_SCRATCH_CAP:
-                # The DMA kernel is l2-only and needs (p, max_len, d) f32 of
-                # VMEM scratch; fall back to the XLA gather otherwise.
+            if (
+                metric != "l2"
+                or scratch_bytes(n_probe, max(1, lay.max_list_len), d)
+                > VMEM_SCRATCH_CAP
+                or self._budget_for(n_probe) > 32768
+            ):
+                # The DMA kernel is l2-only, needs (p, max_len, d) f32 of
+                # VMEM scratch, and its packed slots hold at most 32768
+                # candidates (beyond that, slot clamping would overwrite
+                # earlier probes — silent candidate loss); fall back to the
+                # XLA gather in all three cases.
+                log.debug("gather_dma guard tripped; using XLA gather")
                 method = "gather"
         if method == "gather_dma":
             # Range-DMA Pallas kernel: one contiguous HBM->VMEM DMA per

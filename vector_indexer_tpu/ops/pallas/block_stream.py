@@ -1,0 +1,423 @@
+"""Block-stream IVF search kernel: probed-blocks-only distance sweep.
+
+THE kernel that makes IVF probing pay on TPU. The dense path
+(ivf.py:_ivf_search_dense_program) sweeps the FULL table and masks, spending
+all the FLOPs/bytes IVF is supposed to save; the XLA row-gather path pays
+~8 GB/s scatter-gather bandwidth. This kernel touches exactly the probed
+posting blocks at bulk-sequential HBM bandwidth, by driving Mosaic's built-in
+block pipeline with scalar-prefetched block ids — the TPU-native analogue of
+the reference's selective io_uring cluster-block reads
+(/root/reference/src/shards.rs:255-272) and its concurrent fan-out
+(/root/reference/src/ivf_index.rs:249).
+
+Mechanism
+---------
+* A **stream table**: the posting table re-packed so every cluster starts at
+  a CHUNK-row-aligned base (built once from the main ALIGN=8 layout; the main
+  table stays compact for the flat/dense paths), storing RESIDUALS
+  (vector - its cluster centroid). The sweep is bandwidth-bound, so a bf16
+  table doubles throughput; residual encoding keeps bf16's relative error
+  proportional to the cluster spread instead of the data's absolute
+  magnitude (global-mean centering measured 76% top-10 overlap on tight
+  far-from-origin clusters; residuals recover ~100%), and the kernel keeps
+  the large terms (|q-c|^2, norms) in exact f32. Exact f32 re-ranking of a
+  2k shortlist from the main table finishes the job.
+* Each probed list becomes ceil(len/CHUNK) **tasks**; each task is one
+  (CHUNK, d) block. Tasks across the whole query batch are flattened and
+  packed **slot-major** (every query's nearest-probe chunks first), FAN tasks
+  per grid step. Mosaic's pipeline double-buffers the block fetches; measured
+  ~340 GB/s effective at FAN=4 vs ~8 GB/s for XLA row gather and ~20 GB/s for
+  a manual per-task DMA loop.
+* The flat task budget is sized to ~1.3x the expected total (law of large
+  numbers across the batch), not the per-query worst case; in the rare
+  overflow the HIGHEST slots — the farthest probed chunks, uniformly across
+  queries — are dropped (graceful recall degradation, never a wrong
+  distance). `worst_case=True` sizes it to the true maximum (never drops).
+* Per-task masking/output init all happen OUTSIDE the kernel: distances land
+  in per-(query, slot) output blocks; lanes beyond a list's end and slots
+  never written are inf-masked in XLA before selection (garbage is never
+  read unmasked).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CHUNK = 256  # rows per task block (lane-aligned packed output slots)
+FAN = 4  # block fetches per grid step (amortizes per-step overhead)
+# SMEM holds 4 int32 scalar-prefetch arrays of T_pad tasks; stay under half
+# of the v5e's ~1 MB SMEM.
+SMEM_TASK_CAP = 30_720
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("vecs", "norms", "to_main", "sblk0", "lengths", "cent"),
+    meta_fields=("m_pad", "dtype"),
+)
+@dataclasses.dataclass
+class StreamTable:
+    """CHUNK-aligned re-pack of a PostingLayout for the block-stream kernel."""
+
+    vecs: jax.Array  # (m_pad, d) f32/bf16 RESIDUAL rows (x - centroid[c])
+    norms: jax.Array  # (m_pad,) f32 squared norms of the stored residuals
+    to_main: jax.Array  # (m_pad,) int32 stream row -> main layout row
+    sblk0: jax.Array  # (kc,) int32 per-cluster start block
+    lengths: jax.Array  # (kc,) int32 posting lengths (same as layout)
+    cent: jax.Array  # (kc, d) f32 cluster centroids (residual bases)
+    m_pad: int
+    dtype: jnp.dtype
+
+    @property
+    def bytes_per_row(self) -> int:
+        return self.vecs.shape[1] * self.vecs.dtype.itemsize
+
+
+def build_stream_table(layout, centroids, dtype=jnp.bfloat16) -> StreamTable:
+    """Re-pack the main layout into CHUNK-aligned cluster blocks of RESIDUAL
+    rows (device-side row gather; one-time ~O(table) cost). Residual
+    encoding makes low-precision tables accurate: the error of the stored
+    row scales with its distance to its centroid, not its absolute
+    magnitude."""
+    starts = np.asarray(layout.offsets)[:-1].astype(np.int64)
+    lengths = np.asarray(layout.lengths).astype(np.int64)
+    kc = len(lengths)
+    order = np.argsort(starts, kind="stable")  # layout placement order
+
+    sizes = _round_up_arr(np.maximum(lengths[order], 0), CHUNK)
+    bases_in_order = np.zeros(kc, np.int64)
+    if kc > 1:
+        np.cumsum(sizes[:-1], out=bases_in_order[1:])
+    bases = np.empty(kc, np.int64)
+    bases[order] = bases_in_order
+    m_pad = int(max(sizes.sum(), CHUNK))
+
+    # Stream row -> main row; pads point at the main table's last row (a
+    # zero vector with SENTINEL_NORM), though padded lanes are always masked
+    # out before selection anyway.
+    main_pad_row = layout.vectors.shape[0] - 1
+    to_main = np.full(m_pad, main_pad_row, np.int64)
+    for c in range(kc):
+        ln = int(lengths[c])
+        if ln:
+            to_main[bases[c] : bases[c] + ln] = np.arange(
+                starts[c], starts[c] + ln
+            )
+
+    # Cluster id per stream row (pads -> 0; they are masked anyway).
+    row_cid = np.zeros(m_pad, np.int64)
+    for c in range(kc):
+        ln = int(lengths[c])
+        if ln:
+            row_cid[bases[c] : bases[c] + ln] = c
+
+    idx = jnp.asarray(to_main, jnp.int32)
+    cent = jnp.asarray(centroids, jnp.float32)
+    gathered = jnp.asarray(layout.vectors)[idx]  # (m_pad, d) f32
+    real = jnp.asarray((to_main != main_pad_row)[:, None], jnp.float32)
+    residual = (gathered - cent[jnp.asarray(row_cid, jnp.int32)]) * real
+    return StreamTable(
+        vecs=residual.astype(dtype),
+        norms=jnp.sum(residual * residual, axis=1),
+        to_main=idx,
+        sblk0=jnp.asarray((bases // CHUNK).astype(np.int32)),
+        lengths=jnp.asarray(lengths.astype(np.int32)),
+        cent=cent,
+        m_pad=m_pad,
+        dtype=jnp.dtype(dtype),
+    )
+
+
+def _round_up_arr(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def expected_tasks_per_query(lengths_np, n_probe: int) -> float:
+    """E[chunk tasks per query] under length-proportional probe likelihood
+    (bigger cells are probed more often). Used to size the flat task budget."""
+    ln = np.asarray(lengths_np, np.float64)
+    n = max(ln.sum(), 1.0)
+    p_probed = np.minimum(1.0, n_probe * ln / n)
+    return float((p_probed * np.ceil(ln / CHUNK)).sum())
+
+
+def task_budget(
+    lengths_np, n_probe: int, nq: int, worst_case: bool = False
+) -> tuple[int, int]:
+    """-> (t_pad, t_max_q): flat task capacity for an nq-query batch and the
+    per-query output slot capacity (worst case, memory only)."""
+    ln = np.sort(np.asarray(lengths_np))[::-1]
+    worst_q = int(np.ceil(ln[: min(n_probe, len(ln))] / CHUNK).sum())
+    t_max_q = _round_up(max(worst_q, 1), FAN)
+    worst_total = nq * t_max_q
+    if worst_case:
+        t_pad = worst_total
+    else:
+        exp_total = expected_tasks_per_query(lengths_np, n_probe) * nq
+        t_pad = min(worst_total, int(1.3 * exp_total) + 16 * n_probe + 256)
+    return _round_up(t_pad, 4 * FAN), t_max_q
+
+
+def _kernel_factory(d: int, metric: str):
+    def kernel(*refs):
+        # refs: qid,blk,cid,slot (SMEM prefetch), FAN q blocks, FAN x blocks,
+        # FAN centroid blocks, FAN norm blocks, FAN out blocks.
+        q_refs = refs[4 : 4 + FAN]
+        x_refs = refs[4 + FAN : 4 + 2 * FAN]
+        c_refs = refs[4 + 2 * FAN : 4 + 3 * FAN]
+        n_refs = refs[4 + 3 * FAN : 4 + 4 * FAN]
+        out_refs = refs[4 + 4 * FAN :]
+        for f in range(FAN):
+            q = q_refs[f][0].astype(jnp.float32)  # (1, d)
+            c = c_refs[f][0].astype(jnp.float32)  # (1, d) this block's centroid
+            x = x_refs[f][:]  # (CHUNK, d) residual rows, table dtype
+            if metric == "l2":
+                # |q-x|^2 = |q-c|^2 - 2 (q-c).res + |res|^2: the large terms
+                # are exact f32; only the small cross term sees table dtype.
+                qc = q - c
+                cross = jax.lax.dot_general(
+                    qc.astype(x.dtype), x, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (1, CHUNK)
+                qc_sq = jnp.sum(qc * qc)
+                dist = qc_sq - 2.0 * cross + n_refs[f][0]
+            else:  # ip: -q.x = -q.c - q.res (q.c exact f32)
+                cross = jax.lax.dot_general(
+                    q.astype(x.dtype), x, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                dist = -jnp.sum(q * c) - cross
+            out_refs[f][0, 0, 0, :] = dist[0]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("steps", "t_sub", "metric", "interpret")
+)
+def _block_stream_call(
+    queries,  # (nq, d) f32
+    vecs,  # (m_pad, d) stream table (residual rows)
+    cent,  # (kc, d) f32 centroids
+    norms,  # (m_pad,) f32
+    qid,  # (FAN, steps) int32
+    blk,  # (FAN, steps) int32
+    cid,  # (FAN, steps) int32 cluster id per task
+    uslot,  # (FAN, steps) int32 in [0, t_sub] (t_sub = trash slot)
+    *,
+    steps: int,
+    t_sub: int,
+    metric: str,
+    interpret: bool = False,
+):
+    nq, d = queries.shape
+    kernel = _kernel_factory(d, metric)
+
+    def q_spec(f):
+        return pl.BlockSpec(
+            (1, 1, d), lambda t, qid, blk, cid, slot, f=f: (qid[f, t], 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def x_spec(f):
+        return pl.BlockSpec(
+            (CHUNK, d), lambda t, qid, blk, cid, slot, f=f: (blk[f, t], 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def c_spec(f):
+        # (kc, 1, d) layout: a (1, 1, d) block satisfies the (8, 128) tiling
+        # rule via dims equal to the array's.
+        return pl.BlockSpec(
+            (1, 1, d), lambda t, qid, blk, cid, slot, f=f: (cid[f, t], 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def n_spec(f):
+        # Norms viewed (m_blocks, 1, CHUNK): a (1, 1, CHUNK) block satisfies
+        # tiling, and XLA's T(1024) 1-D layout never enters the kernel.
+        return pl.BlockSpec(
+            (1, 1, CHUNK), lambda t, qid, blk, cid, slot, f=f: (blk[f, t], 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def o_spec(f):
+        return pl.BlockSpec(
+            (1, 1, 1, CHUNK),
+            lambda t, qid, blk, cid, slot, f=f: (qid[f, t], slot[f, t], 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(steps,),
+        in_specs=[q_spec(f) for f in range(FAN)]
+        + [x_spec(f) for f in range(FAN)]
+        + [c_spec(f) for f in range(FAN)]
+        + [n_spec(f) for f in range(FAN)],
+        out_specs=[o_spec(f) for f in range(FAN)],
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nq, t_sub + 1, 1, CHUNK), jnp.float32)
+            for _ in range(FAN)
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * FAN * steps * CHUNK * d,
+            bytes_accessed=FAN * steps * CHUNK * d * vecs.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        qid, blk, cid, uslot,
+        *([queries[:, None, :]] * FAN),
+        *([vecs] * FAN),
+        *([cent[:, None, :]] * FAN),
+        *([norms.reshape(-1, 1, CHUNK)] * FAN),
+    )
+    return outs
+
+
+def block_stream_search(
+    queries,  # (nq, d) f32 (pre-normalized for cosine)
+    table: StreamTable,
+    probe,  # (nq, p) int32 — probed cluster ids, nearest first
+    k: int,
+    *,
+    t_pad: int,
+    t_max_q: int,
+    metric: str = "l2",
+    approx: bool = True,
+    interpret: bool = False,
+):
+    """-> (D (nq, k) f32, stream_rows -> main rows (nq, k) int32, both
+    inf/-1 padded). Jit-traceable (call under jit)."""
+    nq, d = queries.shape
+    p = probe.shape[1]
+    t_sub = t_max_q // FAN  # per-fan output slots (t_max_q % FAN == 0)
+    steps = t_pad // FAN
+
+    sblk0 = table.sblk0[probe]  # (nq, p) start blocks
+    lens = table.lengths[probe]
+    nchunks = -(-lens // CHUNK)
+
+    # Per-query task grid (nq, t_max_q): task s of a query is chunk c of its
+    # probe j, nearest probes first. Unrolled over p with (nq, t_max_q)
+    # lanes (searchsorted forms serialize on TPU).
+    cum = jnp.cumsum(nchunks, axis=1)
+    cum_prev = cum - nchunks
+    s = jnp.arange(t_max_q, dtype=jnp.int32)[None, :]
+    blk2d = jnp.zeros((nq, t_max_q), jnp.int32)
+    cid2d = jnp.zeros((nq, t_max_q), jnp.int32)
+    nval2d = jnp.zeros((nq, t_max_q), jnp.int32)
+    for j in range(p):
+        inseg = (s >= cum_prev[:, j : j + 1]) & (s < cum[:, j : j + 1])
+        c = s - cum_prev[:, j : j + 1]
+        blk2d = jnp.where(inseg, sblk0[:, j : j + 1] + c, blk2d)
+        cid2d = jnp.where(inseg, probe[:, j : j + 1], cid2d)
+        nval2d = jnp.where(
+            inseg, jnp.minimum(CHUNK, lens[:, j : j + 1] - c * CHUNK), nval2d
+        )
+    t_q = cum[:, -1]  # (nq,) live task count
+
+    # Slot-major flat packing per fan: fan f owns slots {f, f+FAN, ...}; the
+    # flat order is (slot, query), so any overflow drops the FARTHEST probed
+    # chunks uniformly across queries.
+    qids, blks, cids, slots, lives = [], [], [], [], []
+    u = jnp.arange(t_sub, dtype=jnp.int32)[None, :]
+    qcol = jnp.arange(nq, dtype=jnp.int32)[:, None]
+    for f in range(FAN):
+        sglob = u * FAN + f  # (1, t_sub) global slot ids of this fan
+        valid = sglob < t_q[:, None]  # (nq, t_sub)
+        vi = valid.astype(jnp.int32)
+        cnt_u = vi.sum(axis=0)  # (t_sub,)
+        base_u = jnp.cumsum(cnt_u) - cnt_u
+        rank = jnp.cumsum(vi, axis=0) - vi
+        pos = jnp.where(valid, base_u[None, :] + rank, steps)  # drop invalid
+        lives.append(pos < steps)  # scheduled (not dropped by overflow)
+        pos_f = pos.reshape(-1)
+        qid_f = (
+            jnp.zeros(steps, jnp.int32)
+            .at[pos_f]
+            .set(jnp.broadcast_to(qcol, (nq, t_sub)).reshape(-1), mode="drop")
+        )
+        blk_f = (
+            jnp.zeros(steps, jnp.int32)
+            .at[pos_f]
+            .set(blk2d[:, f::FAN].reshape(-1), mode="drop")
+        )
+        cid_f = (
+            jnp.zeros(steps, jnp.int32)
+            .at[pos_f]
+            .set(cid2d[:, f::FAN].reshape(-1), mode="drop")
+        )
+        slot_f = (
+            jnp.full(steps, t_sub, jnp.int32)  # default: trash slot
+            .at[pos_f]
+            .set(jnp.broadcast_to(u, (nq, t_sub)).reshape(-1), mode="drop")
+        )
+        qids.append(qid_f)
+        blks.append(blk_f)
+        cids.append(cid_f)
+        slots.append(slot_f)
+
+    outs = _block_stream_call(
+        queries,
+        table.vecs,
+        table.cent,
+        table.norms,
+        jnp.stack(qids),
+        jnp.stack(blks),
+        jnp.stack(cids),
+        jnp.stack(slots),
+        steps=steps,
+        t_sub=t_sub,
+        metric=metric,
+        interpret=interpret,
+    )
+
+    # Mask (lanes beyond list ends, never-written slots, dropped tasks) and
+    # select. Garbage in unwritten slots is never read unmasked.
+    lane = jnp.arange(CHUNK, dtype=jnp.int32)[None, None, :]
+    parts = []
+    for f in range(FAN):
+        dist_f = outs[f][:, :t_sub, 0, :]  # (nq, t_sub, CHUNK)
+        nval_f = nval2d[:, f::FAN]  # (nq, t_sub)
+        ok = (lane < nval_f[:, :, None]) & lives[f][:, :, None]
+        parts.append(jnp.where(ok, dist_f, jnp.inf).reshape(nq, t_sub * CHUNK))
+    dist_cat = jnp.concatenate(parts, axis=1)  # (nq, FAN*t_sub*CHUNK)
+
+    if approx and dist_cat.shape[1] > 4096:
+        dvals, ci = jax.lax.approx_min_k(dist_cat, k, recall_target=0.99)
+    else:
+        from ..topk import topk_smallest
+
+        dvals, ci = topk_smallest(dist_cat, k)
+
+    # Lane index -> (fan, slot, lane) -> stream row -> main layout row.
+    ci0 = jnp.maximum(ci, 0)
+    f_sel = ci0 // (t_sub * CHUNK)
+    rem = ci0 % (t_sub * CHUNK)
+    u_sel = rem // CHUNK
+    w_sel = rem % CHUNK
+    s_sel = u_sel * FAN + f_sel  # global slot
+    blk_sel = jnp.take_along_axis(blk2d, s_sel, axis=1)
+    srow = blk_sel * CHUNK + w_sel
+    main_rows = table.to_main[srow]
+    real = (ci >= 0) & jnp.isfinite(dvals)
+    main_rows = jnp.where(real, main_rows, -1)
+    dvals = jnp.where(real, dvals, jnp.inf)
+    return dvals, main_rows
