@@ -86,6 +86,26 @@ def test_dp_kmeans_quality():
     assert lbl.min() >= 0 and lbl.max() < 6
 
 
+def test_dp_kmeans_replicated_repair():
+    """Empty-cluster repair must keep the replicated centroids identical on
+    every device. Detector: each device computes ITS slice's final labels
+    against ITS centroid copy — if the copies diverged, those labels are
+    inconsistent with the returned (device-0) centroids."""
+    # Few distinct points + large k forces empty clusters every iteration.
+    base = np.random.default_rng(0).normal(size=(12, 16)).astype(np.float32)
+    data = np.repeat(base, 40, axis=0)  # 480 points, 12 distinct
+    mesh = make_shard_mesh(8)
+    res = run_kmeans_lloyd_dp(data, k=32, max_iters=10, mesh=mesh, seed=7)
+    cents = np.asarray(res.centroids)
+    lbl = np.asarray(res.labels)
+    d2 = ((data[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+    expect = d2.argmin(1)
+    # Ties can legitimately differ; require distance-equivalence instead.
+    got = d2[np.arange(len(data)), lbl]
+    best = d2[np.arange(len(data)), expect]
+    np.testing.assert_allclose(got, best, rtol=1e-5, atol=1e-5)
+
+
 def test_2d_mesh_query_shard_parallel(built):
     from vector_indexer_tpu.parallel.mesh2d import Sharded2DSearcher, make_mesh_2d
 

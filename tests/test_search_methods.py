@@ -57,6 +57,67 @@ def test_unknown_method_errors(built):
         idx.search_batch(data[:2], k=1, n_probe=1, method="nope")
 
 
+def test_stream_exact_matches_gather(built):
+    # Block-stream kernel, f32 table, worst-case slots: identical id sets.
+    idx, data = built
+    q = data[:64]
+    Dg, Ig = _run(idx, q, "gather")
+    Ds, Is = _run(idx, q, "stream_exact")
+    for a, b in zip(Ig, Is):
+        assert set(a.tolist()) == set(b.tolist())
+    np.testing.assert_allclose(np.sort(Dg, 1), np.sort(Ds, 1), rtol=1e-3, atol=1e-3)
+
+
+def test_stream_bf16_residual_recall(built):
+    # bf16 residual sweep + exact f32 re-rank: ids match the exact path and
+    # the returned distances are the exact f32 re-ranked ones.
+    idx, data = built
+    q = data[:64] + 0.01
+    Dg, Ig = _run(idx, q, "gather")
+    Ds, Is = _run(idx, q, "stream")
+    for a, b in zip(Ig, Is):
+        assert set(a.tolist()) == set(b.tolist())
+    np.testing.assert_allclose(Dg, Ds, rtol=1e-4, atol=1e-4)
+
+
+def test_stream_truncation_drops_farthest_first(built):
+    # With a tiny forced slot budget the nearest probed lists must survive:
+    # the self-hit (in the nearest cell) is never the candidate dropped.
+    from unittest import mock
+
+    idx, data = built
+    with mock.patch(
+        "vector_indexer_tpu.ops.pallas.block_stream.per_query_slots",
+        return_value=8,
+    ):
+        D, I = _run(idx, data[:16], "stream", n_probe=10)  # 10 tasks > 8 slots
+    assert (I[:, 0] == np.arange(16)).all()
+
+
+def test_stream_metrics(built):
+    idx, data = built
+    store = VectorStore(
+        external_ids=np.arange(len(data), dtype=np.uint64), vectors=data
+    )
+    for metric in ("ip", "cosine"):
+        m = IvfIndex.fit(store, seed=42, metric=metric)
+        q = data[:32]
+        Dg, Ig = m.search_batch(q, k=10, n_probe=8, method="gather")
+        Ds, Is = m.search_batch(q, k=10, n_probe=8, method="stream")
+        for a, b in zip(Ig, Is):
+            assert set(a.tolist()) == set(b.tolist()), metric
+        np.testing.assert_allclose(Dg, Ds, rtol=1e-4, atol=1e-4)
+
+
+def test_stream_k_exceeds_candidates(built):
+    idx, data = built
+    D, I = idx.search_batch(data[:4], k=500, n_probe=1, method="stream")
+    assert D.shape == (4, 500)
+    pad = I < 0
+    assert pad.any(), "n_probe=1 cannot fill k=500 on this fixture"
+    assert np.isinf(D[pad]).all()
+
+
 def test_gather_dma_matches_gather(built):
     # Range-DMA Pallas kernel path (interpret mode on CPU).
     idx, data = built

@@ -221,7 +221,7 @@ def _ivf_search_dense_program(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "n_probe", "t_pad", "t_max_q", "q_tile", "approx", "rerank",
+        "k", "n_probe", "t_fixed", "q_tile", "approx", "rerank",
         "metric", "interpret",
     ),
 )
@@ -235,22 +235,21 @@ def _ivf_search_stream_program(
     *,
     k: int,
     n_probe: int,
-    t_pad: int,
-    t_max_q: int,
+    t_fixed: int,
     q_tile: int,
     approx: bool,
     rerank: bool,
     metric: str = "l2",
     interpret: bool = False,
 ):
-    """Probed-blocks-only search: coarse top-n_probe -> slot-major flat task
-    packing -> block-stream Pallas sweep -> top-k (-> optional exact f32
-    re-rank of the k winners when the stream table is bf16). Touches only
+    """Probed-blocks-only search: coarse top-n_probe -> static per-query
+    task slots -> block-stream Pallas sweep -> top-k (-> optional exact f32
+    re-rank of a 2k shortlist when the stream table is bf16). Touches only
     ~n_probe/nlist of the table — the path where IVF probing actually pays
     on TPU (the dense path sweeps everything and masks).
 
-    Queries are tiled so each kernel call's scalar-prefetched flat task
-    arrays (3 x t_pad int32) fit SMEM.
+    Queries are tiled so each kernel call's scalar-prefetched task arrays
+    (2 x q_tile*t_fixed int32) fit SMEM.
     """
     from ..ops.pallas.block_stream import block_stream_search
 
@@ -260,14 +259,20 @@ def _ivf_search_stream_program(
         q_sq = sq_norms(qt)
         # ALWAYS L2 cell probing (assignment-consistent; see gather path).
         dcoarse = _score(qt, centroids, c_sq, q_sq, "l2")
-        _, probe = jax.lax.top_k(-dcoarse, n_probe)  # (q_tile, n_probe)
+        if approx and centroids.shape[0] > 1024:
+            # Hardware PartialReduce for cell selection: exact lax.top_k over
+            # a (q_tile, kc) coarse matrix measured ~5 ms/kilobatch at
+            # kc=4000 — several times the whole probed sweep.
+            _, probe = jax.lax.approx_min_k(dcoarse, n_probe, recall_target=0.99)
+        else:
+            _, probe = jax.lax.top_k(-dcoarse, n_probe)  # (q_tile, n_probe)
 
         # Low-precision selection keeps a 2k-wide shortlist for the exact
         # re-rank, absorbing bf16 ordering noise near the k-th boundary.
-        kk = min(2 * k, t_max_q * 256) if rerank else k
+        kk = min(2 * k, t_fixed * 256) if rerank else k
         dvals, rows = block_stream_search(
             qt, stream_table, probe, kk,
-            t_pad=t_pad, t_max_q=t_max_q, metric=metric, approx=approx,
+            t_fixed=t_fixed, metric=metric, approx=approx,
             interpret=interpret,
         )
         if rerank:
@@ -566,11 +571,18 @@ class IvfIndex:
         n_probe = min(n_probe, self.num_clusters)
         lay = self.layout
         if method == "auto":
-            # The dense matmul amortizes the whole table over the batch; the
-            # packed gather touches only probed rows. Pick by modeled bytes.
-            dense_cost = lay.n * d  # one table sweep, shared by the tile
-            gather_cost = nq * self._budget_for(n_probe) * d * 4  # 4x penalty
-            method = "dense" if dense_cost <= gather_cost else "gather"
+            # Modeled bytes per q_tile batch: the dense matmul sweeps the
+            # whole table once per tile; the block-stream kernel touches only
+            # probed CHUNK blocks (bf16) with ~50% fixed-overhead markup.
+            # Measured crossover on v5e: dense wins to ~150k rows, stream
+            # beyond (2.8x flat at n=1M, nprobe<=8, recall 1.0).
+            from ..ops.pallas.block_stream import CHUNK, per_query_slots
+
+            t_fixed = per_query_slots(np.asarray(lay.lengths), n_probe)
+            q_tile_d = pick_q_tile(nq, lay.vectors.shape[0] * 4 // d, d)
+            dense_cost = -(-nq // q_tile_d) * lay.vectors.shape[0] * d * 4
+            stream_cost = int(nq * t_fixed * CHUNK * d * 2 * 1.5)
+            method = "dense" if dense_cost <= stream_cost else "stream"
 
         centroids, c_sq = self._device_tables()
         if method in ("flat", "flat_exact"):
@@ -607,23 +619,24 @@ class IvfIndex:
         if method in ("stream", "stream_exact"):
             from ..ops.pallas.block_stream import (
                 SMEM_TASK_CAP,
-                task_budget,
+                per_query_slots,
             )
 
             exact = method == "stream_exact"
             st = self._stream_table(
                 jnp.float32 if exact else self.stream_dtype
             )
-            lengths_np = np.asarray(lay.lengths)
-            # Tile queries so the flat task arrays fit SMEM.
-            q_tile = _round_up(min(nq, _QUERY_TILE), 8)
-            while True:
-                t_pad, t_max_q = task_budget(
-                    lengths_np, n_probe, q_tile, worst_case=exact
-                )
-                if t_pad <= SMEM_TASK_CAP or q_tile <= 8:
-                    break
-                q_tile = max(8, (q_tile // 2 + 7) // 8 * 8)
+            t_fixed = per_query_slots(
+                np.asarray(lay.lengths), n_probe, worst_case=exact
+            )
+            # Tile queries so the task arrays fit SMEM. The stream kernel's
+            # per-tile fixed costs (pipeline ramp, coarse matmul, select) are
+            # better amortized than the dense paths', so its tile cap is 4x.
+            q_tile = max(
+                8,
+                min(_QUERY_TILE, (SMEM_TASK_CAP // max(t_fixed, 1)) // 8 * 8),
+            )
+            q_tile = min(q_tile, _round_up(nq, 8))
             return _ivf_search_stream_program(
                 pad_to(q_tile),
                 centroids,
@@ -633,8 +646,7 @@ class IvfIndex:
                 lay.row_norms,
                 k=k,
                 n_probe=n_probe,
-                t_pad=t_pad,
-                t_max_q=t_max_q,
+                t_fixed=t_fixed,
                 q_tile=q_tile,
                 approx=not exact,
                 rerank=(st.dtype != jnp.float32),

@@ -23,20 +23,21 @@ Mechanism
   the large terms (|q-c|^2, norms) in exact f32. Exact f32 re-ranking of a
   2k shortlist from the main table finishes the job.
 * Each probed list becomes ceil(len/CHUNK) **tasks**; each task is one
-  (CHUNK, d) block. Tasks across the whole query batch are flattened and
-  packed **slot-major** (every query's nearest-probe chunks first), FAN tasks
-  per grid step. Mosaic's pipeline double-buffers the block fetches; measured
-  ~340 GB/s effective at FAN=4 vs ~8 GB/s for XLA row gather and ~20 GB/s for
-  a manual per-task DMA loop.
-* The flat task budget is sized to ~1.3x the expected total (law of large
-  numbers across the batch), not the per-query worst case; in the rare
-  overflow the HIGHEST slots — the farthest probed chunks, uniformly across
-  queries — are dropped (graceful recall degradation, never a wrong
-  distance). `worst_case=True` sizes it to the true maximum (never drops).
+  (CHUNK, d) block. Every query gets exactly `t_fixed` task slots (nearest
+  probes first; chunks beyond t_fixed — the farthest probed ones — are
+  dropped, a graceful recall trade sized by the ~1.25x-expected default;
+  `worst_case=True` never drops). The (query, slot) -> grid-step mapping is
+  STATIC (fan f owns slot range [f*t_sub, (f+1)*t_sub); step t serves query
+  t % nq at local slot t // nq), so the qid/slot index maps are computed
+  from t and only block/cluster ids are scalar-prefetched — a scatter-based
+  dynamic packing variant measured ~6 ms/kilobatch of pure XLA scatter cost,
+  all of which this removes. FAN blocks per grid step amortize Mosaic's
+  per-step overhead; measured ~340 GB/s effective at FAN=4 vs ~8 GB/s XLA
+  row gather and ~20 GB/s for a manual DMA loop.
 * Per-task masking/output init all happen OUTSIDE the kernel: distances land
-  in per-(query, slot) output blocks; lanes beyond a list's end and slots
-  never written are inf-masked in XLA before selection (garbage is never
-  read unmasked).
+  in per-(query, slot) output blocks; lanes beyond a list's end and unused
+  slots are inf-masked in XLA before selection (garbage is never read
+  unmasked).
 """
 
 from __future__ import annotations
@@ -51,10 +52,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 CHUNK = 256  # rows per task block (lane-aligned packed output slots)
-FAN = 4  # block fetches per grid step (amortizes per-step overhead)
-# SMEM holds 4 int32 scalar-prefetch arrays of T_pad tasks; stay under half
-# of the v5e's ~1 MB SMEM.
-SMEM_TASK_CAP = 30_720
+FAN = 8  # block fetches per grid step (amortizes per-step overhead)
+# SMEM holds 2 int32 scalar-prefetch arrays of nq*t_fixed tasks; stay under
+# half of the v5e's ~1 MB SMEM.
+SMEM_TASK_CAP = 61_440
 
 
 def _round_up(x: int, m: int) -> int:
@@ -152,32 +153,30 @@ def expected_tasks_per_query(lengths_np, n_probe: int) -> float:
     return float((p_probed * np.ceil(ln / CHUNK)).sum())
 
 
-def task_budget(
-    lengths_np, n_probe: int, nq: int, worst_case: bool = False
-) -> tuple[int, int]:
-    """-> (t_pad, t_max_q): flat task capacity for an nq-query batch and the
-    per-query output slot capacity (worst case, memory only)."""
+def per_query_slots(lengths_np, n_probe: int, worst_case: bool = False) -> int:
+    """t_fixed: task slots per query (multiple of FAN). Default sizes to
+    ~1.25x the expected task count (+slack); the worst case (sum of the
+    n_probe longest lists, chunk-rounded) never drops a candidate."""
     ln = np.sort(np.asarray(lengths_np))[::-1]
     worst_q = int(np.ceil(ln[: min(n_probe, len(ln))] / CHUNK).sum())
-    t_max_q = _round_up(max(worst_q, 1), FAN)
-    worst_total = nq * t_max_q
+    worst_q = max(worst_q, 1)
     if worst_case:
-        t_pad = worst_total
+        t = worst_q
     else:
-        exp_total = expected_tasks_per_query(lengths_np, n_probe) * nq
-        t_pad = min(worst_total, int(1.3 * exp_total) + 16 * n_probe + 256)
-    return _round_up(t_pad, 4 * FAN), t_max_q
+        exp_q = expected_tasks_per_query(lengths_np, n_probe)
+        t = min(worst_q, int(1.25 * exp_q) + 2)
+    return _round_up(t, FAN)
 
 
 def _kernel_factory(d: int, metric: str):
     def kernel(*refs):
-        # refs: qid,blk,cid,slot (SMEM prefetch), FAN q blocks, FAN x blocks,
+        # refs: blk,cid (SMEM prefetch), FAN q blocks, FAN x blocks,
         # FAN centroid blocks, FAN norm blocks, FAN out blocks.
-        q_refs = refs[4 : 4 + FAN]
-        x_refs = refs[4 + FAN : 4 + 2 * FAN]
-        c_refs = refs[4 + 2 * FAN : 4 + 3 * FAN]
-        n_refs = refs[4 + 3 * FAN : 4 + 4 * FAN]
-        out_refs = refs[4 + 4 * FAN :]
+        q_refs = refs[2 : 2 + FAN]
+        x_refs = refs[2 + FAN : 2 + 2 * FAN]
+        c_refs = refs[2 + 2 * FAN : 2 + 3 * FAN]
+        n_refs = refs[2 + 3 * FAN : 2 + 4 * FAN]
+        out_refs = refs[2 + 4 * FAN :]
         for f in range(FAN):
             q = q_refs[f][0].astype(jnp.float32)  # (1, d)
             c = c_refs[f][0].astype(jnp.float32)  # (1, d) this block's centroid
@@ -204,35 +203,36 @@ def _kernel_factory(d: int, metric: str):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("steps", "t_sub", "metric", "interpret")
+    jax.jit, static_argnames=("t_sub", "metric", "interpret")
 )
 def _block_stream_call(
     queries,  # (nq, d) f32
     vecs,  # (m_pad, d) stream table (residual rows)
     cent,  # (kc, d) f32 centroids
     norms,  # (m_pad,) f32
-    qid,  # (FAN, steps) int32
-    blk,  # (FAN, steps) int32
-    cid,  # (FAN, steps) int32 cluster id per task
-    uslot,  # (FAN, steps) int32 in [0, t_sub] (t_sub = trash slot)
+    blk,  # (FAN, nq*t_sub) int32 block id per task
+    cid,  # (FAN, nq*t_sub) int32 cluster id per task
     *,
-    steps: int,
     t_sub: int,
     metric: str,
     interpret: bool = False,
 ):
+    """Grid step t, fan f serve query ``t % nq`` at its local slot
+    ``t // nq`` of fan f's slot range — a static mapping, so only block and
+    cluster ids need scalar prefetch."""
     nq, d = queries.shape
+    steps = nq * t_sub
     kernel = _kernel_factory(d, metric)
 
     def q_spec(f):
         return pl.BlockSpec(
-            (1, 1, d), lambda t, qid, blk, cid, slot, f=f: (qid[f, t], 0, 0),
+            (1, 1, d), lambda t, blk, cid: (t % nq, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
     def x_spec(f):
         return pl.BlockSpec(
-            (CHUNK, d), lambda t, qid, blk, cid, slot, f=f: (blk[f, t], 0),
+            (CHUNK, d), lambda t, blk, cid, f=f: (blk[f, t], 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -240,7 +240,7 @@ def _block_stream_call(
         # (kc, 1, d) layout: a (1, 1, d) block satisfies the (8, 128) tiling
         # rule via dims equal to the array's.
         return pl.BlockSpec(
-            (1, 1, d), lambda t, qid, blk, cid, slot, f=f: (cid[f, t], 0, 0),
+            (1, 1, d), lambda t, blk, cid, f=f: (cid[f, t], 0, 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -248,19 +248,19 @@ def _block_stream_call(
         # Norms viewed (m_blocks, 1, CHUNK): a (1, 1, CHUNK) block satisfies
         # tiling, and XLA's T(1024) 1-D layout never enters the kernel.
         return pl.BlockSpec(
-            (1, 1, CHUNK), lambda t, qid, blk, cid, slot, f=f: (blk[f, t], 0, 0),
+            (1, 1, CHUNK), lambda t, blk, cid, f=f: (blk[f, t], 0, 0),
             memory_space=pltpu.VMEM,
         )
 
     def o_spec(f):
         return pl.BlockSpec(
             (1, 1, 1, CHUNK),
-            lambda t, qid, blk, cid, slot, f=f: (qid[f, t], slot[f, t], 0, 0),
+            lambda t, blk, cid: (t % nq, t // nq, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=2,
         grid=(steps,),
         in_specs=[q_spec(f) for f in range(FAN)]
         + [x_spec(f) for f in range(FAN)]
@@ -272,7 +272,7 @@ def _block_stream_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((nq, t_sub + 1, 1, CHUNK), jnp.float32)
+            jax.ShapeDtypeStruct((nq, t_sub, 1, CHUNK), jnp.float32)
             for _ in range(FAN)
         ],
         cost_estimate=pl.CostEstimate(
@@ -282,7 +282,7 @@ def _block_stream_call(
         ),
         interpret=interpret,
     )(
-        qid, blk, cid, uslot,
+        blk, cid,
         *([queries[:, None, :]] * FAN),
         *([vecs] * FAN),
         *([cent[:, None, :]] * FAN),
@@ -297,32 +297,32 @@ def block_stream_search(
     probe,  # (nq, p) int32 — probed cluster ids, nearest first
     k: int,
     *,
-    t_pad: int,
-    t_max_q: int,
+    t_fixed: int,
     metric: str = "l2",
     approx: bool = True,
     interpret: bool = False,
 ):
-    """-> (D (nq, k) f32, stream_rows -> main rows (nq, k) int32, both
-    inf/-1 padded). Jit-traceable (call under jit)."""
+    """-> (D (nq, k) f32, main layout rows (nq, k) int32, inf/-1 padded).
+    Jit-traceable (call under jit). Each query gets t_fixed CHUNK-row task
+    slots, nearest probed lists first; chunks beyond t_fixed are dropped
+    (see per_query_slots)."""
     nq, d = queries.shape
     p = probe.shape[1]
-    t_sub = t_max_q // FAN  # per-fan output slots (t_max_q % FAN == 0)
-    steps = t_pad // FAN
+    t_sub = t_fixed // FAN  # slots per fan (t_fixed % FAN == 0)
 
     sblk0 = table.sblk0[probe]  # (nq, p) start blocks
     lens = table.lengths[probe]
     nchunks = -(-lens // CHUNK)
 
-    # Per-query task grid (nq, t_max_q): task s of a query is chunk c of its
-    # probe j, nearest probes first. Unrolled over p with (nq, t_max_q)
+    # Per-query task grid (nq, t_fixed): slot s of a query is chunk c of its
+    # probe j, nearest probes first. Unrolled over p with (nq, t_fixed)
     # lanes (searchsorted forms serialize on TPU).
     cum = jnp.cumsum(nchunks, axis=1)
     cum_prev = cum - nchunks
-    s = jnp.arange(t_max_q, dtype=jnp.int32)[None, :]
-    blk2d = jnp.zeros((nq, t_max_q), jnp.int32)
-    cid2d = jnp.zeros((nq, t_max_q), jnp.int32)
-    nval2d = jnp.zeros((nq, t_max_q), jnp.int32)
+    s = jnp.arange(t_fixed, dtype=jnp.int32)[None, :]
+    blk2d = jnp.zeros((nq, t_fixed), jnp.int32)
+    cid2d = jnp.zeros((nq, t_fixed), jnp.int32)
+    nval2d = jnp.zeros((nq, t_fixed), jnp.int32)
     for j in range(p):
         inseg = (s >= cum_prev[:, j : j + 1]) & (s < cum[:, j : j + 1])
         c = s - cum_prev[:, j : j + 1]
@@ -331,76 +331,44 @@ def block_stream_search(
         nval2d = jnp.where(
             inseg, jnp.minimum(CHUNK, lens[:, j : j + 1] - c * CHUNK), nval2d
         )
-    t_q = cum[:, -1]  # (nq,) live task count
 
-    # Slot-major flat packing per fan: fan f owns slots {f, f+FAN, ...}; the
-    # flat order is (slot, query), so any overflow drops the FARTHEST probed
-    # chunks uniformly across queries.
-    qids, blks, cids, slots, lives = [], [], [], [], []
-    u = jnp.arange(t_sub, dtype=jnp.int32)[None, :]
-    qcol = jnp.arange(nq, dtype=jnp.int32)[:, None]
-    for f in range(FAN):
-        sglob = u * FAN + f  # (1, t_sub) global slot ids of this fan
-        valid = sglob < t_q[:, None]  # (nq, t_sub)
-        vi = valid.astype(jnp.int32)
-        cnt_u = vi.sum(axis=0)  # (t_sub,)
-        base_u = jnp.cumsum(cnt_u) - cnt_u
-        rank = jnp.cumsum(vi, axis=0) - vi
-        pos = jnp.where(valid, base_u[None, :] + rank, steps)  # drop invalid
-        lives.append(pos < steps)  # scheduled (not dropped by overflow)
-        pos_f = pos.reshape(-1)
-        qid_f = (
-            jnp.zeros(steps, jnp.int32)
-            .at[pos_f]
-            .set(jnp.broadcast_to(qcol, (nq, t_sub)).reshape(-1), mode="drop")
+    # Static packing: fan f owns slots [f*t_sub, (f+1)*t_sub); its step t
+    # serves (query t % nq, local slot t // nq). blk/cid arrays are pure
+    # transposes — no scatter.
+    def fan_flat(a2d):
+        return jnp.stack(
+            [
+                a2d[:, f * t_sub : (f + 1) * t_sub].T.reshape(-1)
+                for f in range(FAN)
+            ]
         )
-        blk_f = (
-            jnp.zeros(steps, jnp.int32)
-            .at[pos_f]
-            .set(blk2d[:, f::FAN].reshape(-1), mode="drop")
-        )
-        cid_f = (
-            jnp.zeros(steps, jnp.int32)
-            .at[pos_f]
-            .set(cid2d[:, f::FAN].reshape(-1), mode="drop")
-        )
-        slot_f = (
-            jnp.full(steps, t_sub, jnp.int32)  # default: trash slot
-            .at[pos_f]
-            .set(jnp.broadcast_to(u, (nq, t_sub)).reshape(-1), mode="drop")
-        )
-        qids.append(qid_f)
-        blks.append(blk_f)
-        cids.append(cid_f)
-        slots.append(slot_f)
 
     outs = _block_stream_call(
         queries,
         table.vecs,
         table.cent,
         table.norms,
-        jnp.stack(qids),
-        jnp.stack(blks),
-        jnp.stack(cids),
-        jnp.stack(slots),
-        steps=steps,
+        fan_flat(blk2d),
+        fan_flat(cid2d),
         t_sub=t_sub,
         metric=metric,
         interpret=interpret,
     )
 
-    # Mask (lanes beyond list ends, never-written slots, dropped tasks) and
-    # select. Garbage in unwritten slots is never read unmasked.
+    # Mask lanes beyond list ends / unused slots, then select. Garbage in
+    # masked lanes is never read unmasked.
     lane = jnp.arange(CHUNK, dtype=jnp.int32)[None, None, :]
     parts = []
     for f in range(FAN):
-        dist_f = outs[f][:, :t_sub, 0, :]  # (nq, t_sub, CHUNK)
-        nval_f = nval2d[:, f::FAN]  # (nq, t_sub)
-        ok = (lane < nval_f[:, :, None]) & lives[f][:, :, None]
+        dist_f = outs[f][:, :, 0, :]  # (nq, t_sub, CHUNK)
+        nval_f = nval2d[:, f * t_sub : (f + 1) * t_sub]
+        ok = lane < nval_f[:, :, None]
         parts.append(jnp.where(ok, dist_f, jnp.inf).reshape(nq, t_sub * CHUNK))
-    dist_cat = jnp.concatenate(parts, axis=1)  # (nq, FAN*t_sub*CHUNK)
+    dist_cat = jnp.concatenate(parts, axis=1)  # (nq, t_fixed*CHUNK)
 
-    if approx and dist_cat.shape[1] > 4096:
+    if approx and dist_cat.shape[1] > max(512, 2 * k):
+        # Hardware PartialReduce selection: exact lax.top_k measured ~2-3 ms
+        # per kilobatch even at width 2048.
         dvals, ci = jax.lax.approx_min_k(dist_cat, k, recall_target=0.99)
     else:
         from ..topk import topk_smallest
@@ -413,7 +381,7 @@ def block_stream_search(
     rem = ci0 % (t_sub * CHUNK)
     u_sel = rem // CHUNK
     w_sel = rem % CHUNK
-    s_sel = u_sel * FAN + f_sel  # global slot
+    s_sel = f_sel * t_sub + u_sel  # global slot
     blk_sel = jnp.take_along_axis(blk2d, s_sel, axis=1)
     srow = blk_sel * CHUNK + w_sel
     main_rows = table.to_main[srow]

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.kmeans import KMeansResult, kmeans_plus_plus_init, _repair_empty, _rms_delta
+from ..models.kmeans import KMeansResult, kmeans_plus_plus_init, _rms_delta
 from ..ops.distance import pairwise_sq_l2, sq_norms
 
 
@@ -26,9 +26,11 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "axis", "k", "max_iters")
+    jax.jit, static_argnames=("mesh", "axis", "k", "max_iters", "n")
 )
-def _dp_lloyd(mesh, axis, data_sh, valid_sh, init_centroids, key, *, k, max_iters, tol):
+def _dp_lloyd(
+    mesh, axis, data_sh, valid_sh, init_centroids, key, *, k, max_iters, tol, n
+):
     from jax.experimental.shard_map import shard_map
 
     n_dev = mesh.shape[axis]
@@ -43,6 +45,23 @@ def _dp_lloyd(mesh, axis, data_sh, valid_sh, init_centroids, key, *, k, max_iter
         return sums, counts
 
     def per_device(xloc, vloc, centroids, key):
+        local_n = xloc.shape[0]
+        my = jax.lax.axis_index(axis)
+
+        def repair_empty_dp(krep, centroids, counts):
+            # Replicated empty-cluster repair: every device draws the SAME
+            # global row ids (same key), the owning device contributes the
+            # row, and a psum broadcasts it — keeping the replicated
+            # centroids bit-identical across the mesh. (Repairing from the
+            # device-LOCAL slice with a shared key silently diverged: each
+            # device picked a different point, desyncing the while_loop.)
+            ridx = jax.random.randint(krep, (k,), 0, n)  # global row space
+            own = (ridx // local_n) == my
+            rows = xloc[ridx % local_n] * own[:, None].astype(jnp.float32)
+            rows = jax.lax.psum(rows, axis)
+            empty = (counts == 0)[:, None]
+            return jnp.where(empty, rows, centroids)
+
         def cond(carry):
             _, _, it, delta = carry
             return jnp.logical_and(it < max_iters, delta >= tol)
@@ -58,9 +77,7 @@ def _dp_lloyd(mesh, axis, data_sh, valid_sh, init_centroids, key, *, k, max_iter
                 sums / jnp.maximum(counts, 1.0)[:, None],
                 centroids,
             )
-            # Empty-cluster repair from the local slice (same key on all
-            # devices + replicated data row space handled by caller seed).
-            new_c = _repair_empty(krep, new_c, counts, xloc)
+            new_c = repair_empty_dp(krep, new_c, counts)
             delta = _rms_delta(new_c, centroids)
             return new_c, key, it + 1, delta
 
@@ -111,6 +128,6 @@ def run_kmeans_lloyd_dp(
     valid_sh = jax.device_put(valid, sh)
     centroids, labels = _dp_lloyd(
         mesh, axis, data_sh, valid_sh, init, key,
-        k=k, max_iters=max_iters, tol=jnp.float32(early_stop_threshold),
+        k=k, max_iters=max_iters, tol=jnp.float32(early_stop_threshold), n=n,
     )
     return KMeansResult(centroids, labels[:n], max_iters, True)
