@@ -61,11 +61,17 @@ def read_ivecs(path: str, count: Optional[int] = None) -> np.ndarray:
     return mat[:, 1:].copy()
 
 
-def compute_ground_truth(xb: np.ndarray, xq: np.ndarray, k: int) -> np.ndarray:
+def compute_ground_truth(
+    xb: np.ndarray, xq: np.ndarray, k: int, metric: str = "l2"
+) -> np.ndarray:
     """Exact k-NN ids via the on-device brute-force oracle."""
     from vector_indexer_tpu.ops import brute_force_topk
 
-    _, gt = brute_force_topk(xq, xb, k)
+    if metric == "cosine":
+        xb = xb / np.maximum(np.linalg.norm(xb, axis=1, keepdims=True), 1e-12)
+        xq = xq / np.maximum(np.linalg.norm(xq, axis=1, keepdims=True), 1e-12)
+        metric = "ip"
+    _, gt = brute_force_topk(xq, xb, k, metric=metric)
     return np.asarray(gt)
 
 
@@ -76,6 +82,7 @@ def load_dataset(
     n: Optional[int] = None,
     nq: Optional[int] = None,
     k: int = 100,
+    metric: str = "l2",
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Load (xb, xq, gt), slicing to n/nq and validating the provided GT.
 
@@ -112,5 +119,5 @@ def load_dataset(
             gt = None
 
     if gt is None:
-        gt = compute_ground_truth(xb, xq, k)
+        gt = compute_ground_truth(xb, xq, k, metric=metric)
     return xb, xq, gt[:, :k]

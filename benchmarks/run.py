@@ -16,6 +16,7 @@ SEED, XB_PATH, XQ_PATH, GT_PATH) matches the reference launcher
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 import time
 
@@ -46,8 +47,23 @@ def main() -> None:
     p.add_argument("--xb", default=_env("XB_PATH", None, str))
     p.add_argument("--xq", default=_env("XQ_PATH", None, str))
     p.add_argument("--gt", default=_env("GT_PATH", None, str))
-    p.add_argument("--method", default="auto",
-                   choices=["auto", "dense", "dense_fast", "gather"])
+    p.add_argument(
+        "--method",
+        default="auto",
+        choices=[
+            "auto", "dense", "dense_exact", "gather", "gather_dma",
+            "stream", "stream_exact", "flat", "flat_exact",
+        ],
+    )
+    p.add_argument("--metric", default="l2", choices=["l2", "ip", "cosine"])
+    p.add_argument(
+        "--backend",
+        default=_env("BACKEND", "tpu", str),
+        choices=["tpu", "cpu", "both"],
+        help="tpu = this framework; cpu = the numpy IVF-Flat comparator "
+        "(faiss-CPU stand-in) sharing the same trained index; both = run "
+        "the two back to back (parity: bench_all_ivf.py --backend)",
+    )
     p.add_argument("--work-dir", default="/tmp/vix_bench_cli")
     p.add_argument("--out", default="bench_results/run")
     args = p.parse_args()
@@ -66,28 +82,71 @@ def main() -> None:
 
     if args.xb:
         xb, xq, gt = datasets.load_dataset(
-            args.xb, args.xq, args.gt, n=args.n, nq=args.nq, k=args.k
+            args.xb, args.xq, args.gt, n=args.n, nq=args.nq, k=args.k,
+            metric=args.metric,
         )
     else:
         xb, xq = datasets.synthetic(args.n, args.d, args.nq, args.seed)
-        gt = datasets.compute_ground_truth(xb, xq, args.k)
+        gt = datasets.compute_ground_truth(xb, xq, args.k, metric=args.metric)
 
     t0 = time.perf_counter()
-    index = bindings.build(xb, work_dir=args.work_dir)
+    index = bindings.build(xb, work_dir=args.work_dir, metric=args.metric)
     build_s = time.perf_counter() - t0
 
-    results = harness.run_sweep(
-        index, xq, gt, args.k, args.nprobes, args.min_time, method=args.method
-    )
+    extra = dict(build_seconds=build_s)
+    results = []
+    if args.backend in ("tpu", "both"):
+        results = harness.run_sweep(
+            index, xq, gt, args.k, args.nprobes, args.min_time,
+            method=args.method,
+        )
+    if args.backend in ("cpu", "both"):
+        from .cpu_ivf import NumpyIvfFlat, labels_from_layout
+
+        core = index._indexer.index
+        cpu = NumpyIvfFlat(
+            xb, core.centroids,
+            labels_from_layout(core.layout, index.nlist, xb.shape[0]),
+        )
+        cpu_rows = []
+        for nprobe in args.nprobes:
+            if nprobe > index.nlist:
+                break
+            D, I = cpu.search(xq, args.k, nprobe)
+            recalls = {
+                f"r@{r}": harness.recall_at(I, gt, r)
+                for r in (1, 10, 100) if r <= args.k
+            }
+            t0 = time.perf_counter()
+            nrun = 0
+            while True:
+                cpu.search(xq, args.k, nprobe)
+                nrun += 1
+                elapsed = time.perf_counter() - t0
+                if elapsed >= args.min_time:
+                    break
+            ms = elapsed * 1000.0 / (nrun * len(xq))
+            cpu_rows.append(
+                harness.EvalResult(nprobe, recalls, ms, 1000.0 / ms, nrun)
+            )
+            print(
+                f"cpu nprobe={nprobe:4d} "
+                + " ".join(f"{m}={v:.4f}" for m, v in recalls.items())
+                + f" {1000.0 / ms:,.0f} qps"
+            )
+        extra["cpu_results"] = [dataclasses.asdict(r) for r in cpu_rows]
+        if args.backend == "cpu":
+            results = cpu_rows
+
     harness.save_results(
         args.out,
         config=dict(
             n=xb.shape[0], d=xb.shape[1], nq=xq.shape[0], k=args.k,
             seed=args.seed, nlist=index.nlist, method=args.method,
-            backend="vector_indexer_tpu",
+            metric=args.metric, backend=args.backend,
         ),
         results=results,
-        extra=dict(build_seconds=build_s),
+        extra=extra,
     )
 
     at_target = [r for r in results if r.recalls.get("r@10", 0) >= 0.95]

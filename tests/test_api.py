@@ -109,6 +109,19 @@ def test_empty_records_error(tmp_path):
         vx.VectorIndexer(_cfg(tmp_path)).build_from_records([])
 
 
+def test_huge_external_ids_rejected(tmp_path):
+    # ids >= 2^63 would wrap negative through the int64 (D, I) contract and
+    # alias the -1 padding sentinel; API builds must reject them.
+    g = np.random.default_rng(0)
+    vecs = g.normal(size=(50, 8)).astype(np.float32)
+    ids = np.arange(50, dtype=np.uint64)
+    ids[7] = np.uint64(2**63)
+    with pytest.raises(ValueError, match="2\\*\\*63"):
+        vx.VectorIndexer(_cfg(tmp_path, dim=8)).build_from_arrays(
+            vecs, external_ids=ids
+        )
+
+
 def test_build_dim_mismatch(tmp_path):
     records, _ = _records(50, 8)
     with pytest.raises(ValueError, match="dimension mismatch at index"):

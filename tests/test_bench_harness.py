@@ -79,3 +79,46 @@ def test_load_dataset_valid_gt_kept(tmp_path, rng):
     _write_ivecs(pg, marker)
     _, _, gt = datasets.load_dataset(pb, pq, pg, k=2)
     np.testing.assert_array_equal(gt, marker)
+
+
+def test_cpu_ivf_comparator_exactness(rng):
+    """The numpy IVF-Flat comparator must agree with brute force when every
+    list is probed, and hit the true NN at moderate nprobe."""
+    from benchmarks.cpu_ivf import NumpyIvfFlat, labels_from_layout
+    from vector_indexer_tpu.index import IvfIndex
+    from vector_indexer_tpu.storage import VectorStore
+
+    n, d, k = 2000, 16, 5
+    xb = rng.normal(size=(n, d)).astype(np.float32)
+    xq = xb[:8] + 0.001 * rng.normal(size=(8, d)).astype(np.float32)
+
+    idx = IvfIndex.fit(
+        VectorStore(external_ids=np.arange(n, dtype=np.uint64), vectors=xb),
+        seed=0,
+    )
+    labels = labels_from_layout(idx.layout, idx.num_clusters, n)
+    # Label reconstruction: conservation + consistency with the layout.
+    assert np.bincount(labels, minlength=idx.num_clusters).sum() == n
+
+    cpu = NumpyIvfFlat(xb, idx.centroids, labels)
+    D, I = cpu.search(xq, k, nprobe=idx.num_clusters)  # probe everything
+    gt = datasets.compute_ground_truth(xb, xq, k)
+    np.testing.assert_array_equal(I, gt[:, :k])
+    assert (np.diff(D, axis=1) >= -1e-5).all()  # sorted ascending
+
+    # Moderate nprobe still finds the (trivially near) true NN.
+    _, I4 = cpu.search(xq, k, nprobe=4)
+    assert harness.recall_at(I4, gt, 1) >= 0.75
+
+
+def test_cpu_ivf_metric_gt(rng):
+    """GT oracle supports ip/cosine metrics."""
+    xb = rng.normal(size=(200, 8)).astype(np.float32)
+    xq = xb[:4]
+    gt_ip = datasets.compute_ground_truth(xb, xq, 3, metric="ip")
+    # For ip the best match maximizes q.x — self rows not guaranteed, but
+    # shapes and determinism are.
+    assert gt_ip.shape == (4, 3)
+    gt_cos = datasets.compute_ground_truth(xb, xq, 3, metric="cosine")
+    # Cosine: self-similarity = 1 is maximal, so the query's own row wins.
+    np.testing.assert_array_equal(gt_cos[:, 0], np.arange(4))

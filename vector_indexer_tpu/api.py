@@ -165,6 +165,15 @@ class VectorIndexer:
         return self._fit_and_save(store)
 
     def _fit_and_save(self, store: VectorStore) -> "VectorIndexer":
+        # The batched (D, I) contract returns ids as int64 with -1 padding;
+        # ids >= 2^63 would wrap negative and alias the padding sentinel, so
+        # API builds reject them up front. (The lower IvfIndex/shard layers
+        # keep full u64 id capability, parity with shards.rs.)
+        if (np.asarray(store.external_ids) >> 63).any():
+            raise ValueError(
+                "external ids must be < 2**63 (the batched search contract "
+                "returns int64 ids with -1 as the missing-slot sentinel)"
+            )
         # Fixed seed for API builds: deterministic, not configurable
         # (parity: api.rs:143).
         self.index = IvfIndex.fit(store, seed=42, metric=self.cfg.metric)

@@ -504,8 +504,13 @@ class IvfIndex:
         the bindings' (D, I) contract (bindings/python/src/lib.rs:179-187).
 
         ``method``: 'gather' (packed-CSR candidate gather, best at small
-        batch), 'dense' (masked full matmul, best at large batch), or 'auto'.
-        Both produce identical result sets.
+        batch), 'dense' (masked full matmul, best at large batch), 'stream'
+        (probed-blocks Pallas sweep, best at large corpus), 'flat'
+        (exhaustive), or 'auto'. The *_exact variants are equivalent result
+        sets; the fast variants differ legitimately — 'dense' probes every
+        cluster tied at the n_probe-th coarse distance and the fast paths use
+        hardware approximate selection (recall_target 0.99), 'stream' ranks
+        in reduced precision before the exact re-rank.
         """
         dvals, irows = self.search_batch_device(queries, k, n_probe, method)
         nq = queries.shape[0] if queries.ndim == 2 else 1
@@ -661,15 +666,17 @@ class IvfIndex:
 
             if (
                 metric != "l2"
+                or d % 128 != 0
                 or scratch_bytes(n_probe, max(1, lay.max_list_len), d)
                 > VMEM_SCRATCH_CAP
                 or self._budget_for(n_probe) > 32768
             ):
-                # The DMA kernel is l2-only, needs (p, max_len, d) f32 of
-                # VMEM scratch, and its packed slots hold at most 32768
-                # candidates (beyond that, slot clamping would overwrite
-                # earlier probes — silent candidate loss); fall back to the
-                # XLA gather in all three cases.
+                # The DMA kernel is l2-only, needs lane-aligned d (Mosaic
+                # rejects dynamic dim-1 slices narrower than the 128-lane
+                # tile), needs (p, max_len, d) f32 of VMEM scratch, and its
+                # packed slots hold at most 32768 candidates (beyond that,
+                # slot clamping would overwrite earlier probes — silent
+                # candidate loss); fall back to the XLA gather in all cases.
                 log.debug("gather_dma guard tripped; using XLA gather")
                 method = "gather"
         if method == "gather_dma":
@@ -759,14 +766,16 @@ class IvfIndex:
         lay = self.layout
         # perm maps layout row -> internal id; invert for payload fetch. After
         # a partial load (missing shard) internal ids can exceed lay.n, so the
-        # inverse is sized by the id space, not the row count.
-        if getattr(self, "_perm_inv", None) is None or self._perm_inv_rows != lay.n:
+        # inverse is sized by the id space, not the row count. Cache keyed on
+        # the layout object identity: equal-n layouts with different perms
+        # (e.g. a reload) must not serve a stale inverse.
+        if getattr(self, "_perm_inv", None) is None or self._perm_inv_key != id(lay):
             size = int(lay.perm.max()) + 1 if lay.n else 0
             inv = np.full(size, -1, np.int64)
             real = lay.perm >= 0
             inv[lay.perm[real]] = np.flatnonzero(real)
             self._perm_inv = inv
-            self._perm_inv_rows = lay.n
+            self._perm_inv_key = id(lay)
         row = self._perm_inv[internal_id]
         if row < 0:
             raise KeyError(f"internal id {internal_id} not present in layout")

@@ -45,8 +45,14 @@ def merge_topk(vals_a, idx_a, vals_b, idx_b, k: int):
     return mvals, midx
 
 
-@functools.partial(jax.jit, static_argnames=("k", "db_chunk"))
-def brute_force_topk(queries: jax.Array, db: jax.Array, k: int, db_chunk: int = 65536):
+@functools.partial(jax.jit, static_argnames=("k", "db_chunk", "metric"))
+def brute_force_topk(
+    queries: jax.Array,
+    db: jax.Array,
+    k: int,
+    db_chunk: int = 65536,
+    metric: str = "l2",
+):
     """Exact k-NN oracle: (nq, d) x (n, d) -> (D (nq,k), I (nq,k)).
 
     Streams the database through fixed-size chunks with a running top-k merge,
@@ -55,6 +61,9 @@ def brute_force_topk(queries: jax.Array, db: jax.Array, k: int, db_chunk: int = 
     reference shells out to faiss IndexFlatL2 for this,
     bench/faiss_bench_official/bench_all_ivf.py:255-265) and the
     high-batch exact search path.
+
+    ``metric``: 'l2' (squared L2) or 'ip' (returns negated inner product, so
+    smaller = more similar; cosine = normalize inputs then 'ip').
     """
     nq, d = queries.shape
     n = db.shape[0]
@@ -71,7 +80,14 @@ def brute_force_topk(queries: jax.Array, db: jax.Array, k: int, db_chunk: int = 
     def step(carry, inp):
         best_v, best_i = carry
         chunk, c_start = inp
-        dmat = pairwise_sq_l2(queries, chunk, x_sq=q_sq)  # (nq, db_chunk)
+        if metric == "l2":
+            dmat = pairwise_sq_l2(queries, chunk, x_sq=q_sq)  # (nq, db_chunk)
+        else:  # ip: smaller = more-negative similarity
+            dmat = -jnp.dot(
+                queries, chunk.T,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
         rows = c_start + base_iota
         dmat = jnp.where((rows < n)[None, :], dmat, jnp.inf)
         v, i = topk_smallest(dmat, k)

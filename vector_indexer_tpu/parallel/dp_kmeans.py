@@ -31,7 +31,7 @@ def _round_up(x: int, m: int) -> int:
 def _dp_lloyd(
     mesh, axis, data_sh, valid_sh, init_centroids, key, *, k, max_iters, tol, n
 ):
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     n_dev = mesh.shape[axis]
 
@@ -94,7 +94,7 @@ def _dp_lloyd(
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(), P()),
         out_specs=(P(), P(axis)),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(data_sh, valid_sh, init_centroids, key)
 

@@ -271,7 +271,7 @@ def _sharded_search_program(
     *,
     k: int,
 ):
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     per_device = _make_per_device(
         centroids, c_sq, n_probe, k, axis, mesh.shape[axis]
@@ -281,7 +281,7 @@ def _sharded_search_program(
         mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
         out_specs=(P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(
         queries, local_vecs, local_norms, local_cent, local_csq,
@@ -309,7 +309,7 @@ def _sharded_search_program_2d(
     """Query-parallel x shard-parallel search: each (q, s) device handles its
     query slice against its shard slice; the top-k merge all_gather runs over
     the shard axis only."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     per_device = _make_per_device(
         centroids, c_sq, n_probe, k, shard_axis, mesh.shape[shard_axis]
@@ -326,7 +326,7 @@ def _sharded_search_program_2d(
             P(shard_axis),
         ),
         out_specs=(P(q_axis), P(q_axis), P(q_axis)),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(
         queries, local_vecs, local_norms, local_cent, local_csq,
