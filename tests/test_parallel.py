@@ -127,3 +127,40 @@ def test_2d_mesh_self_hit(built):
     searcher = Sharded2DSearcher(idx, make_mesh_2d(4, 2))
     D, I = searcher.search_batch(data[:16], k=5, n_probe=6)
     assert (I[:, 0] == np.arange(16)).all()
+
+
+def test_mesh_parallel_fit_quality():
+    """IvfIndex.fit(mesh=...) must match the single-device build's quality:
+    same cluster count scale, conservation, near-equal inertia, and working
+    search with self-hits."""
+    from benchmarks.cpu_ivf import labels_from_layout
+    from vector_indexer_tpu.models import compute_inertia
+
+    data, _, _ = make_gaussian_clusters(8, 150, 16, spread=0.4, separation=8.0)
+    store = VectorStore(
+        external_ids=np.arange(len(data), dtype=np.uint64), vectors=data
+    )
+    mesh = make_shard_mesh(8)
+    idx_dp = IvfIndex.fit(store, seed=11, mesh=mesh)
+    idx_1 = IvfIndex.fit(store, seed=11)
+
+    # Conservation: every vector is in exactly one posting list.
+    assert int(np.asarray(idx_dp.layout.lengths).sum()) == len(data)
+
+    lbl_dp = labels_from_layout(idx_dp.layout, idx_dp.num_clusters, len(data))
+    lbl_1 = labels_from_layout(idx_1.layout, idx_1.num_clusters, len(data))
+    i_dp = compute_inertia(data, idx_dp.centroids, lbl_dp)
+    i_1 = compute_inertia(data, idx_1.centroids, lbl_1)
+    assert i_dp <= i_1 * 1.2  # reference-style stability bound
+
+    D, I = idx_dp.search_batch(data[:32], k=5, n_probe=idx_dp.num_clusters)
+    assert (I[:, 0] == np.arange(32)).all()
+
+
+def test_mesh_parallel_fit_rejects_mini_batch():
+    data, _, _ = make_gaussian_clusters(4, 50, 8)
+    store = VectorStore(
+        external_ids=np.arange(len(data), dtype=np.uint64), vectors=data
+    )
+    with pytest.raises(ValueError, match="mesh-parallel"):
+        IvfIndex.fit(store, mesh=make_shard_mesh(2), trainer="mini_batch")

@@ -376,6 +376,8 @@ class IvfIndex:
         refine_iters: int = 2,
         metric: str = "l2",
         trainer: str = "lloyd",
+        mesh=None,
+        mesh_axis: str = "shards",
     ) -> "IvfIndex":
         n = len(store)
         if n == 0:
@@ -400,8 +402,26 @@ class IvfIndex:
         # = 86 at n=100k (p50 size 1, whales of 8.5k), which poisons every
         # probed-size-proportional search path. Lloyd brings skew to ~O(1).
         # trainer="mini_batch" retains the reference's algorithm as an option.
-        with trace("fit.kmeans", n=n, k=k):
-            if trainer == "lloyd":
+        # ``mesh``: data-parallel build over a device mesh — points sharded
+        # along ``mesh_axis``, per-device assign + psum-reduced statistics,
+        # DP final assignment (the TPU analogue of the reference training its
+        # whole build under rayon, kmeans.rs:15-150). Single-device build is
+        # the mesh=None degenerate case.
+        with trace("fit.kmeans", n=n, k=k, mesh=(mesh is not None)):
+            if mesh is not None:
+                if trainer != "lloyd":
+                    raise ValueError(
+                        "mesh-parallel fit supports trainer='lloyd' (the "
+                        "mini-batch step is batch-bound, not data-bound; DP "
+                        "would shard a <=256-row batch)"
+                    )
+                from ..parallel.dp_kmeans import run_kmeans_lloyd_dp
+
+                kres = run_kmeans_lloyd_dp(
+                    data, k, iters, mesh=mesh, axis=mesh_axis, seed=seed,
+                    spherical=(metric == "cosine"),
+                )
+            elif trainer == "lloyd":
                 kres = run_kmeans_lloyd(
                     data, k, iters, seed=seed, spherical=(metric == "cosine")
                 )

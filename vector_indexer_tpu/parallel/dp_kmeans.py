@@ -26,10 +26,12 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "axis", "k", "max_iters", "n")
+    jax.jit,
+    static_argnames=("mesh", "axis", "k", "max_iters", "n", "spherical"),
 )
 def _dp_lloyd(
-    mesh, axis, data_sh, valid_sh, init_centroids, key, *, k, max_iters, tol, n
+    mesh, axis, data_sh, valid_sh, init_centroids, key, *, k, max_iters, tol,
+    n, spherical=False,
 ):
     from jax import shard_map
 
@@ -78,6 +80,10 @@ def _dp_lloyd(
                 centroids,
             )
             new_c = repair_empty_dp(krep, new_c, counts)
+            if spherical:
+                new_c = new_c / jnp.maximum(
+                    jnp.linalg.norm(new_c, axis=1, keepdims=True), 1e-12
+                )
             delta = _rms_delta(new_c, centroids)
             return new_c, key, it + 1, delta
 
@@ -87,13 +93,13 @@ def _dp_lloyd(
         # Final assignment of the local slice.
         dmat = pairwise_sq_l2(xloc, centroids)
         lbl = jnp.argmin(dmat, axis=1).astype(jnp.int32)
-        return centroids, lbl
+        return centroids, lbl, it
 
     fn = shard_map(
         per_device,
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(), P()),
-        out_specs=(P(), P(axis)),
+        out_specs=(P(), P(axis), P()),
         check_vma=False,
     )
     return fn(data_sh, valid_sh, init_centroids, key)
@@ -107,6 +113,7 @@ def run_kmeans_lloyd_dp(
     axis: str = "shards",
     early_stop_threshold: float = 1e-4,
     seed: int = 42,
+    spherical: bool = False,
 ) -> KMeansResult:
     """Data-parallel full-batch Lloyd over ``mesh``; centroids replicated."""
     data = np.ascontiguousarray(data, np.float32)
@@ -126,8 +133,10 @@ def run_kmeans_lloyd_dp(
     sh = NamedSharding(mesh, P(axis))
     data_sh = jax.device_put(dp, sh)
     valid_sh = jax.device_put(valid, sh)
-    centroids, labels = _dp_lloyd(
+    centroids, labels, iters = _dp_lloyd(
         mesh, axis, data_sh, valid_sh, init, key,
         k=k, max_iters=max_iters, tol=jnp.float32(early_stop_threshold), n=n,
+        spherical=spherical,
     )
-    return KMeansResult(centroids, labels[:n], max_iters, True)
+    iters = int(iters)
+    return KMeansResult(centroids, labels[:n], iters, iters < max_iters)
