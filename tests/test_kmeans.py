@@ -181,3 +181,16 @@ def test_refine_iters_improves_balance():
     skew_base = np.bincount(np.asarray(base.labels), minlength=50).max()
     skew_ref = np.bincount(np.asarray(ref.labels), minlength=50).max()
     assert skew_ref <= skew_base
+
+
+def test_assign_points_pallas_dispatch(rng):
+    """assign_points(method='pallas') routes to the fused kernel and agrees
+    with the dense XLA path."""
+    from vector_indexer_tpu.models.kmeans import assign_points
+
+    x = rng.normal(size=(300, 24)).astype(np.float32)
+    c = rng.normal(size=(10, 24)).astype(np.float32)
+    l_d, d_d = assign_points(x, c, method="dense")
+    l_p, d_p = assign_points(x, c, method="pallas")
+    np.testing.assert_array_equal(np.asarray(l_d), np.asarray(l_p))
+    np.testing.assert_allclose(np.asarray(d_d), np.asarray(d_p), rtol=1e-4, atol=1e-4)

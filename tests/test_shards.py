@@ -190,3 +190,33 @@ def test_corruption_fuzz_never_crashes(tmp_path, rng):
             load_shard_from_disk(p)
         except ShardFormatError:
             pass
+
+
+def test_native_mmap_view_matches_read(tmp_path):
+    """The zero-copy mmap staging path must see exactly the file bytes and
+    release cleanly; loads through it must equal loads through read()."""
+    from vector_indexer_tpu.storage.native import shardio
+
+    if not shardio.available():
+        pytest.skip("native shard-io library unavailable")
+    shard = Shard(
+        id=5, dimension=12,
+        clusters=[_mk_cluster(0, 12, 9), _mk_cluster(1, 12, 4, seed=1)],
+    )
+    p = save_shard(shard, tmp_path)
+    raw = p.read_bytes()
+    with shardio.mmap_view(str(p)) as mv:
+        assert bytes(mv) == raw
+        assert mv.readonly
+    # Whole-shard load goes through _open_buffer (mmap when available).
+    got = load_shard_from_disk(p)
+    assert got.num_vectors == 13
+    np.testing.assert_array_equal(
+        got.clusters[1].vectors, shard.clusters[1].vectors
+    )
+    # Empty file: mmap_open refuses (size 0) and the fallback read path
+    # surfaces a format error, not a crash.
+    empty = tmp_path / "shard_9.bin"
+    empty.write_bytes(b"")
+    with pytest.raises(ShardFormatError):
+        load_shard_from_disk(empty)

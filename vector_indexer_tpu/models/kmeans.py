@@ -190,14 +190,31 @@ def assign_points(data, centroids, method: str = "auto", chunk: int = _ASSIGN_CH
     ``auto`` uses the dense MXU path unless k is very large, in which case the
     two-level candidate short-list is cheaper (reference flips at k>100,
     kmeans.rs:445-459; on the MXU the crossover is orders of magnitude later).
+    ``pallas`` dispatches the fused assign kernel (distance tiles stay in
+    VMEM; zero HBM traffic for the (n, k) matrix) — profitable for large n*k
+    on a real TPU backend.
     """
     data = jnp.asarray(data, jnp.float32)
     centroids = jnp.asarray(centroids, jnp.float32)
     k = centroids.shape[0]
     if method == "auto":
-        method = "hierarchical" if k > _HIERARCHICAL_K_THRESHOLD else "dense"
+        if k > _HIERARCHICAL_K_THRESHOLD:
+            method = "hierarchical"
+        else:
+            # Fused Pallas assignment when the (n, k) distance plane is big
+            # enough for the in-VMEM fold to pay (measured 4.6x over the XLA
+            # path at n=1M, k=4000 on v5e, bit-identical argmins at HIGHEST
+            # precision); XLA path on CPU/interpret and small problems.
+            from ..ops.pallas.assign import pallas_supported
+
+            big = data.shape[0] * k >= (1 << 26) and k >= 512
+            method = "pallas" if (big and pallas_supported()) else "dense"
     if method == "dense":
         return _assign_dense(data, centroids, chunk=chunk)
+    if method == "pallas":
+        from ..ops.pallas.assign import assign_argmin_pallas
+
+        return assign_argmin_pallas(data, centroids)
     if method == "hierarchical":
         return assign_points_hierarchical(data, centroids, chunk=chunk)
     raise ValueError(f"unknown assignment method: {method}")

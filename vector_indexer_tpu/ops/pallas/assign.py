@@ -46,8 +46,12 @@ def _kernel(x_ref, ct_ref, csq_ref, bestd_ref, besti_ref):
     j = pl.program_id(1)
 
     # (TQ, TK) score tile on the MXU: ||c||^2 - 2 x.c  (x_sq cancels).
+    # HIGHEST precision (multi-pass f32): the default bf16 pass measured
+    # 8.9% argmin disagreement vs the f32 XLA path on clustered data —
+    # near-tie boundary points flip under bf16 rounding of the cross term.
     cross = jnp.dot(
-        x_ref[:], ct_ref[:], preferred_element_type=jnp.float32
+        x_ref[:], ct_ref[:], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # ct is pre-transposed (d, TK)
     score = csq_ref[:] - 2.0 * cross
 

@@ -7,6 +7,7 @@ shard_format.py always works.
 
 from __future__ import annotations
 
+import contextlib
 import ctypes
 import os
 import subprocess
@@ -54,6 +55,13 @@ def _load():
             ctypes.c_uint64,
         ]
         lib.vix_read_file.restype = ctypes.c_int64
+        lib.vix_mmap_open.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_uint64),
+        ]
+        lib.vix_mmap_open.restype = ctypes.c_void_p
+        lib.vix_mmap_close.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+        lib.vix_mmap_close.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -70,13 +78,34 @@ def write_file(path: str, data: bytes) -> None:
         raise OSError(-rc, os.strerror(-rc), path)
 
 
-def read_file(path: str) -> bytes:
+def read_file(path: str, offset: int = 0, size: int | None = None) -> bytes:
     lib = _load()
-    size = lib.vix_file_size(path.encode())
-    if size < 0:
-        raise OSError(-size, os.strerror(-size), path)
+    if size is None:
+        total = lib.vix_file_size(path.encode())
+        if total < 0:
+            raise OSError(-total, os.strerror(-total), path)
+        size = max(int(total) - offset, 0)
     buf = (ctypes.c_uint8 * size)()
-    got = lib.vix_read_file(path.encode(), buf, 0, size)
+    got = lib.vix_read_file(path.encode(), buf, offset, size)
     if got < 0:
         raise OSError(-got, os.strerror(-got), path)
     return bytes(bytearray(buf)[: int(got)])
+
+
+@contextlib.contextmanager
+def mmap_view(path: str):
+    """Zero-copy read-only view of a file (MADV_SEQUENTIAL|WILLNEED).
+
+    Yields a read-only memoryview over the mapping; the mapping is released
+    on exit, so callers must copy anything they keep (the shard parsers
+    already .copy() every array they return)."""
+    lib = _load()
+    size = ctypes.c_uint64(0)
+    addr = lib.vix_mmap_open(path.encode(), ctypes.byref(size))
+    if not addr:
+        raise OSError(f"mmap failed: {path}")
+    try:
+        arr = (ctypes.c_uint8 * size.value).from_address(addr)
+        yield memoryview(arr).toreadonly()
+    finally:
+        lib.vix_mmap_close(addr, size)

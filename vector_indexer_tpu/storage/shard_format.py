@@ -24,6 +24,7 @@ the pure-numpy implementation otherwise.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import os
 import struct
@@ -220,6 +221,33 @@ def _read_file(path) -> bytes:
         return f.read()
 
 
+@contextlib.contextmanager
+def _open_buffer(path):
+    """Yield the file's bytes as a buffer for parsing: a zero-copy mmap view
+    (MADV_SEQUENTIAL readahead — the load-time staging path, analogue of the
+    reference's mmap in load_from_disk_in, shards.rs:356-425) when the native
+    library is present, else an ordinary read. Parsers .copy() everything
+    they return, so the mapping can be released on exit."""
+    p = str(path)
+    if not os.path.exists(p):
+        raise ShardFormatError(f"shard file not found: {p}")
+    nat = _native()
+    if nat is not None:
+        cm = None
+        try:
+            cm = nat.mmap_view(p)
+            mv = cm.__enter__()
+        except OSError:
+            cm = None  # empty/unmappable file: fall through to read()
+        if cm is not None:
+            try:
+                yield mv
+            finally:
+                cm.__exit__(None, None, None)
+            return
+    yield _read_file(p)
+
+
 def _parse_header(buf: bytes, path) -> ShardHeader:
     if len(buf) < 48:
         raise ShardFormatError(f"{path}: truncated header ({len(buf)} bytes)")
@@ -236,7 +264,14 @@ def _parse_header(buf: bytes, path) -> ShardHeader:
 
 
 def read_shard_header(path) -> ShardHeader:
-    return _parse_header(_read_file(path)[:48], path)
+    p = str(path)
+    if not os.path.exists(p):
+        raise ShardFormatError(f"shard file not found: {p}")
+    nat = _native()
+    if nat is not None:
+        return _parse_header(nat.read_file(p, 0, 48), path)
+    with open(p, "rb") as f:
+        return _parse_header(f.read(48), path)
 
 
 def _parse_entries(buf: bytes, h: ShardHeader, path) -> List[Tuple[int, int, int, int]]:
@@ -274,45 +309,49 @@ def read_centroid_vectors(
     """Selective per-centroid read (parity: get_centroid_vectors_from,
     shards.rs:188-349, incl. shard-id validation :222-231 and
     missing-centroid error :256-265)."""
-    buf = _read_file(path)
-    h = _parse_header(buf, path)
-    if h.shard_id != shard_id:
-        raise ShardFormatError(
-            f"{path}: shard id mismatch: expected {shard_id}, found {h.shard_id}"
-        )
-    entries = {e[0]: e for e in _parse_entries(buf, h, path)}
-    out: Dict[int, ClusterData] = {}
-    for cid in centroid_ids:
-        if cid not in entries:
-            raise ShardFormatError(f"{path}: centroid {cid} not in shard {shard_id}")
-        centroid, rec = _parse_block(buf, entries[cid], h.dimensions, path)
-        out[cid] = ClusterData(
-            centroid_id=int(cid),
-            centroid=centroid.copy(),
-            internal_ids=rec["meta"]["id"].copy(),
-            external_ids=rec["meta"]["external_id"].copy(),
-            timestamps=rec["meta"]["timestamp"].copy(),
-            vectors=rec["vec"].copy(),
-        )
-    return out
-
-
-def load_shard_from_disk(path) -> Shard:
-    """Whole-shard load (parity: load_from_disk_in, shards.rs:356-425)."""
-    buf = _read_file(path)
-    h = _parse_header(buf, path)
-    entries = _parse_entries(buf, h, path)
-    clusters = []
-    for e in entries:
-        centroid, rec = _parse_block(buf, e, h.dimensions, path)
-        clusters.append(
-            ClusterData(
-                centroid_id=int(e[0]),
+    with _open_buffer(path) as buf:
+        h = _parse_header(buf, path)
+        if h.shard_id != shard_id:
+            raise ShardFormatError(
+                f"{path}: shard id mismatch: expected {shard_id}, "
+                f"found {h.shard_id}"
+            )
+        entries = {e[0]: e for e in _parse_entries(buf, h, path)}
+        out: Dict[int, ClusterData] = {}
+        for cid in centroid_ids:
+            if cid not in entries:
+                raise ShardFormatError(
+                    f"{path}: centroid {cid} not in shard {shard_id}"
+                )
+            centroid, rec = _parse_block(buf, entries[cid], h.dimensions, path)
+            out[cid] = ClusterData(
+                centroid_id=int(cid),
                 centroid=centroid.copy(),
                 internal_ids=rec["meta"]["id"].copy(),
                 external_ids=rec["meta"]["external_id"].copy(),
                 timestamps=rec["meta"]["timestamp"].copy(),
                 vectors=rec["vec"].copy(),
             )
-        )
-    return Shard(id=h.shard_id, dimension=h.dimensions, clusters=clusters)
+        return out
+
+
+def load_shard_from_disk(path) -> Shard:
+    """Whole-shard load via zero-copy mmap staging when the native library
+    is available (parity: load_from_disk_in, shards.rs:356-425)."""
+    with _open_buffer(path) as buf:
+        h = _parse_header(buf, path)
+        entries = _parse_entries(buf, h, path)
+        clusters = []
+        for e in entries:
+            centroid, rec = _parse_block(buf, e, h.dimensions, path)
+            clusters.append(
+                ClusterData(
+                    centroid_id=int(e[0]),
+                    centroid=centroid.copy(),
+                    internal_ids=rec["meta"]["id"].copy(),
+                    external_ids=rec["meta"]["external_id"].copy(),
+                    timestamps=rec["meta"]["timestamp"].copy(),
+                    vectors=rec["vec"].copy(),
+                )
+            )
+        return Shard(id=h.shard_id, dimension=h.dimensions, clusters=clusters)
