@@ -42,7 +42,9 @@ def test_reload_matches_fresh(pipeline):
     q = data[:20]
     D1, I1 = ix.search_batch(q, k=5, n_probe=8)
     D2, I2 = ix2.search_batch(q, k=5, n_probe=8)
-    np.testing.assert_allclose(D1, D2, rtol=1e-5, atol=1e-6)
+    # Fresh builds compute row norms on device (f32); loads recompute them
+    # on host — distances may differ by f32 reduction-order noise.
+    np.testing.assert_allclose(D1, D2, rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(I1, I2)
 
 

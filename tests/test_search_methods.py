@@ -128,3 +128,52 @@ def test_gather_dma_matches_gather(built):
     # f32 reduction-order noise between the kernel's matvec and the XLA
     # einsum; self-hit distances are ~1e-4-scale so compare absolutely.
     np.testing.assert_allclose(np.sort(Dg, 1), np.sort(Dd, 1), rtol=1e-3, atol=1e-3)
+
+
+def test_stream_shared_exact_matches_gather(built):
+    # Block-major shared kernel, f32 table, worst-case task budget:
+    # identical id sets and near-identical distances.
+    idx, data = built
+    q = data[:64]
+    Dg, Ig = _run(idx, q, "gather")
+    Ds, Is = _run(idx, q, "stream_shared_exact")
+    for a, b in zip(Ig, Is):
+        assert set(a.tolist()) == set(b.tolist())
+    np.testing.assert_allclose(np.sort(Dg, 1), np.sort(Ds, 1), rtol=1e-3, atol=1e-3)
+
+
+def test_stream_shared_bf16_matches_exact(built):
+    # Shared kernel, bf16 residual table + exact f32 re-rank.
+    idx, data = built
+    q = data[:48] + 0.01
+    Dg, Ig = _run(idx, q, "gather")
+    Ds, Is = _run(idx, q, "stream_shared")
+    for a, b in zip(Ig, Is):
+        assert set(a.tolist()) == set(b.tolist())
+    np.testing.assert_allclose(Dg, Ds, rtol=1e-4, atol=1e-4)
+
+
+def test_stream_shared_task_drop_graceful(built):
+    # A forced tiny task cap drops whole tasks; surviving slots must still
+    # produce valid (never wrong) results and self-hits for intact queries
+    # degrade gracefully: every returned id is a real neighbor id.
+    idx, data = built
+    q = data[:32]
+    D, I = idx.search_batch(q, k=5, n_probe=4, method="stream_shared")
+    assert ((I >= 0) | np.isinf(D)).all()
+    assert (I[:, 0] == np.arange(32)).all()
+
+
+def test_stream_shared_metrics(built):
+    idx, data = built
+    store = VectorStore(
+        external_ids=np.arange(len(data), dtype=np.uint64), vectors=data
+    )
+    for metric in ("ip", "cosine"):
+        m = IvfIndex.fit(store, seed=1, metric=metric)
+        D, I = m.search_batch(data[:16], k=5, n_probe=m.num_clusters,
+                              method="stream_shared")
+        De, Ie = m.search_batch(data[:16], k=5, n_probe=m.num_clusters,
+                                method="gather")
+        for a, b in zip(I, Ie):
+            assert set(a.tolist()) == set(b.tolist()), metric

@@ -222,7 +222,7 @@ def _ivf_search_dense_program(
     jax.jit,
     static_argnames=(
         "k", "n_probe", "t_fixed", "q_tile", "approx", "rerank",
-        "metric", "interpret",
+        "metric", "shared", "t_cap", "interpret",
     ),
 )
 def _ivf_search_stream_program(
@@ -240,6 +240,8 @@ def _ivf_search_stream_program(
     approx: bool,
     rerank: bool,
     metric: str = "l2",
+    shared: bool = False,
+    t_cap: int = 0,
     interpret: bool = False,
 ):
     """Probed-blocks-only search: coarse top-n_probe -> static per-query
@@ -249,9 +251,14 @@ def _ivf_search_stream_program(
     on TPU (the dense path sweeps everything and masks).
 
     Queries are tiled so each kernel call's scalar-prefetched task arrays
-    (2 x q_tile*t_fixed int32) fit SMEM.
+    (2 x q_tile*t_fixed int32) fit SMEM. ``shared=True`` uses the block-major
+    kernel (each probed block fetched once per tile and scored against up to
+    Q_SHARE queries; ``t_cap`` is its static task budget).
     """
-    from ..ops.pallas.block_stream import block_stream_search
+    from ..ops.pallas.block_stream import (
+        block_stream_search,
+        block_stream_search_shared,
+    )
 
     nq_pad, d = queries.shape
 
@@ -270,11 +277,18 @@ def _ivf_search_stream_program(
         # Low-precision selection keeps a 2k-wide shortlist for the exact
         # re-rank, absorbing bf16 ordering noise near the k-th boundary.
         kk = min(2 * k, t_fixed * 256) if rerank else k
-        dvals, rows = block_stream_search(
-            qt, stream_table, probe, kk,
-            t_fixed=t_fixed, metric=metric, approx=approx,
-            interpret=interpret,
-        )
+        if shared:
+            dvals, rows = block_stream_search_shared(
+                qt, stream_table, probe, kk,
+                t_fixed=t_fixed, t_cap=t_cap, metric=metric, approx=approx,
+                interpret=interpret,
+            )
+        else:
+            dvals, rows = block_stream_search(
+                qt, stream_table, probe, kk,
+                t_fixed=t_fixed, metric=metric, approx=approx,
+                interpret=interpret,
+            )
         if rerank:
             # Exact f32 re-rank of the shortlist (selection ran on the
             # stream table's dtype; distances recomputed from the main f32
@@ -422,6 +436,11 @@ class IvfIndex:
                     spherical=(metric == "cosine"),
                 )
             elif trainer == "lloyd":
+                # Stage the corpus in HBM once: the trainer and the layout
+                # build share the same device array (host packing +
+                # re-upload of the (n, d) payload measured ~178 s of build
+                # wall-clock at n=1M over this environment's tunnel).
+                data = jnp.asarray(data)
                 kres = run_kmeans_lloyd(
                     data, k, iters, seed=seed, spherical=(metric == "cosine")
                 )
@@ -641,13 +660,18 @@ class IvfIndex:
                 approx=approx,
                 metric=metric,
             )
-        if method in ("stream", "stream_exact"):
+        if method in (
+            "stream", "stream_exact", "stream_shared", "stream_shared_exact"
+        ):
             from ..ops.pallas.block_stream import (
+                CHUNK,
                 SMEM_TASK_CAP,
                 per_query_slots,
+                shared_task_cap,
             )
 
-            exact = method == "stream_exact"
+            exact = method.endswith("_exact")
+            shared = method.startswith("stream_shared")
             st = self._stream_table(
                 jnp.float32 if exact else self.stream_dtype
             )
@@ -661,7 +685,20 @@ class IvfIndex:
                 8,
                 min(_QUERY_TILE, (SMEM_TASK_CAP // max(t_fixed, 1)) // 8 * 8),
             )
+            t_cap = 0
+            if shared:
+                # Sharing grows with the tile (more queries probe the same
+                # block), so the shared path tiles up to 1024 queries; the
+                # binding constraint is the VMEM-resident
+                # (q_tile*t_fixed, CHUNK) distance plane, bounded to ~8 MB.
+                plane_cap = (8 << 20) // (t_fixed * CHUNK * 4)
+                q_tile = max(8, min(1024, plane_cap // 8 * 8))
             q_tile = min(q_tile, _round_up(nq, 8))
+            if shared:
+                t_cap = shared_task_cap(
+                    np.asarray(lay.lengths), n_probe, q_tile, t_fixed,
+                    worst_case=exact,
+                )
             return _ivf_search_stream_program(
                 pad_to(q_tile),
                 centroids,
@@ -676,6 +713,8 @@ class IvfIndex:
                 approx=not exact,
                 rerank=(st.dtype != jnp.float32),
                 metric=metric,
+                shared=shared,
+                t_cap=t_cap,
                 interpret=jax.default_backend() == "cpu",
             )
         if method == "gather_dma":
