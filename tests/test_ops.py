@@ -105,11 +105,25 @@ def test_candidate_budget():
     from vector_indexer_tpu.ops.gather import candidate_budget
 
     lens = np.array([10, 500, 20, 300, 5])
-    # top-2 longest: 500 + 300 = 800 -> rounded to 128-multiple
-    assert candidate_budget(lens, 2) == 896
+    # top-2 longest: 500 + 300 = 800 -> quantized up to the {2^m, 1.5*2^m}
+    # compile-reuse grid (1024), always a 128-multiple.
+    assert candidate_budget(lens, 2) == 1024
     assert candidate_budget(lens, 2, cap=256) == 256
     assert candidate_budget(lens, 100) >= lens.sum()
     assert candidate_budget(np.array([1]), 4) == 128  # min alignment
+    # Never truncates; nearby operating points share a grid value.
+    assert candidate_budget(lens, 3) == candidate_budget(lens, 4) == 1024
+
+
+def test_quantize_up_grid():
+    from vector_indexer_tpu.ops.gather import quantize_up
+
+    assert [quantize_up(x) for x in (1, 2, 3, 5, 96, 97, 128, 129)] == [
+        1, 2, 3, 6, 96, 128, 128, 192,
+    ]
+    for x in (7, 100, 1000, 12345):
+        q = quantize_up(x)
+        assert x <= q <= int(x * 4 / 3) + 1  # <= 33% overshoot
 
 
 def test_packed_candidate_rows_truncation():

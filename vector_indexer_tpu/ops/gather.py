@@ -49,15 +49,30 @@ def packed_candidate_rows(
     return rows, valid
 
 
+def quantize_up(x: int) -> int:
+    """Round up to the {2^m, 1.5*2^m} grid. Static shapes derived from data
+    (budgets, slot counts) land on a coarse grid so nearby operating points
+    (nprobe sweep steps, reloads with slightly different list skew) reuse one
+    compiled program — compiles cost 3-300 s in this environment — at <= 33%
+    shape overshoot."""
+    if x <= 1:
+        return 1
+    m = 1 << (x - 1).bit_length()  # next pow2 >= x
+    # 0.75*m is the grid point between 2^(m-1) and 2^m.
+    return m - (m >> 2) if x <= m - (m >> 2) else m
+
+
 def candidate_budget(
     lengths_np, n_probe: int, cap: int | None = None, align: int = 128
 ) -> int:
     """Static budget C: sum of the n_probe longest lists (never truncates),
-    128-aligned. Callers may pass ``cap`` to trade recall for speed."""
+    quantized up to the {2^m, 1.5*2^m} grid (always 128-aligned beyond 128)
+    for compile reuse. Callers may pass ``cap`` to trade recall for speed."""
     import numpy as np
 
     ln = np.sort(np.asarray(lengths_np))[::-1]
     c = int(ln[: min(n_probe, len(ln))].sum())
+    c = max(align, quantize_up(c))
     if cap is not None:
         c = min(c, cap)
-    return max(align, -(-c // align) * align)
+    return -(-c // align) * align

@@ -64,7 +64,9 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=("vecs", "norms", "to_main", "sblk0", "lengths", "cent"),
+    data_fields=(
+        "vecs", "norms", "to_main", "sblk0", "lengths", "cent", "blk_cid",
+    ),
     meta_fields=("m_pad", "dtype"),
 )
 @dataclasses.dataclass
@@ -72,11 +74,12 @@ class StreamTable:
     """CHUNK-aligned re-pack of a PostingLayout for the block-stream kernel."""
 
     vecs: jax.Array  # (m_pad, d) f32/bf16 RESIDUAL rows (x - centroid[c])
-    norms: jax.Array  # (m_pad,) f32 squared norms of the stored residuals
+    norms: jax.Array  # (m_pad,) f32 |residual|^2; SENTINEL (1e30) on pad rows
     to_main: jax.Array  # (m_pad,) int32 stream row -> main layout row
     sblk0: jax.Array  # (kc,) int32 per-cluster start block
     lengths: jax.Array  # (kc,) int32 posting lengths (same as layout)
     cent: jax.Array  # (kc, d) f32 cluster centroids (residual bases)
+    blk_cid: jax.Array  # (m_pad/CHUNK,) int32 owning cluster per block
     m_pad: int
     dtype: jnp.dtype
 
@@ -116,25 +119,36 @@ def build_stream_table(layout, centroids, dtype=jnp.bfloat16) -> StreamTable:
                 starts[c], starts[c] + ln
             )
 
-    # Cluster id per stream row (pads -> 0; they are masked anyway).
+    # Cluster id per stream row, covering the cluster's whole CHUNK-rounded
+    # region so every block maps to its owning cluster (pad rows keep zero
+    # residuals and SENTINEL norms regardless).
     row_cid = np.zeros(m_pad, np.int64)
     for c in range(kc):
         ln = int(lengths[c])
         if ln:
-            row_cid[bases[c] : bases[c] + ln] = c
+            row_cid[bases[c] : bases[c] + _round_up(ln, CHUNK)] = c
 
     idx = jnp.asarray(to_main, jnp.int32)
     cent = jnp.asarray(centroids, jnp.float32)
     gathered = jnp.asarray(layout.vectors)[idx]  # (m_pad, d) f32
-    real = jnp.asarray((to_main != main_pad_row)[:, None], jnp.float32)
+    real_np = to_main != main_pad_row
+    real = jnp.asarray(real_np[:, None], jnp.float32)
     residual = (gathered - cent[jnp.asarray(row_cid, jnp.int32)]) * real
+    # Pad rows carry SENTINEL norms so any distance computed against them is
+    # >= 1e29 and can never displace a real candidate — the same invariant
+    # the main layout uses; the shared kernel relies on it instead of a
+    # per-lane mask.
+    norms = jnp.where(
+        jnp.asarray(real_np), jnp.sum(residual * residual, axis=1), 1e30
+    )
     return StreamTable(
         vecs=residual.astype(dtype),
-        norms=jnp.sum(residual * residual, axis=1),
+        norms=norms,
         to_main=idx,
         sblk0=jnp.asarray((bases // CHUNK).astype(np.int32)),
         lengths=jnp.asarray(lengths.astype(np.int32)),
         cent=cent,
+        blk_cid=jnp.asarray(row_cid[::CHUNK].astype(np.int32)),
         m_pad=m_pad,
         dtype=jnp.dtype(dtype),
     )
@@ -154,9 +168,13 @@ def expected_tasks_per_query(lengths_np, n_probe: int) -> float:
 
 
 def per_query_slots(lengths_np, n_probe: int, worst_case: bool = False) -> int:
-    """t_fixed: task slots per query (multiple of FAN). Default sizes to
-    ~1.25x the expected task count (+slack); the worst case (sum of the
-    n_probe longest lists, chunk-rounded) never drops a candidate."""
+    """t_fixed: task slots per query (multiple of FAN), quantized up to the
+    {2^m, 1.5*2^m} grid so nearby nprobe sweep points share one compiled
+    program. Default sizes to ~1.25x the expected task count (+slack); the
+    worst case (sum of the n_probe longest lists, chunk-rounded) never drops
+    a candidate."""
+    from ...ops.gather import quantize_up
+
     ln = np.sort(np.asarray(lengths_np))[::-1]
     worst_q = int(np.ceil(ln[: min(n_probe, len(ln))] / CHUNK).sum())
     worst_q = max(worst_q, 1)
@@ -165,7 +183,7 @@ def per_query_slots(lengths_np, n_probe: int, worst_case: bool = False) -> int:
     else:
         exp_q = expected_tasks_per_query(lengths_np, n_probe)
         t = min(worst_q, int(1.25 * exp_q) + 2)
-    return _round_up(t, FAN)
+    return _round_up(quantize_up(t), FAN)
 
 
 def _kernel_factory(d: int, metric: str):
@@ -386,6 +404,282 @@ def block_stream_search(
     srow = blk_sel * CHUNK + w_sel
     main_rows = table.to_main[srow]
     real = (ci >= 0) & jnp.isfinite(dvals)
+    main_rows = jnp.where(real, main_rows, -1)
+    dvals = jnp.where(real, dvals, jnp.inf)
+    return dvals, main_rows
+
+
+# ---------------------------------------------------------------------------
+# Shared (block-major) variant: one block fetch serves many queries
+# ---------------------------------------------------------------------------
+#
+# The per-query kernel above fetches every probed block once PER QUERY; in a
+# large batch many queries probe the same cluster, so the same HBM bytes
+# stream repeatedly (at n=100k, nq=1024, nprobe=8 each cluster is probed by
+# ~6.5 queries on average). The shared variant inverts the task list: one
+# task = one (block, <=Q_SHARE queries) group, built by sorting the
+# (query, chunk) pairs by block id — the block is fetched once and scored
+# against each grouped query. The MXU pads any M<128 matmul to a full tile,
+# so grouping costs no extra compute time; effective bandwidth scales with
+# the sharing factor.
+#
+# VMEM-resident plane trick: the whole query tile (q_tile x d) and the whole
+# output distance plane (q_tile*t_fixed, CHUNK) live in VMEM with constant
+# index maps (fetched/flushed once per grid); the kernel reads query rows and
+# writes distance rows at dynamic sublane offsets, so no scalar-prefetched
+# output routing is needed and unwritten slots keep their +inf init — masking
+# falls out for free (pad lanes carry SENTINEL norms from the table).
+
+Q_SHARE = 8  # query slots per task
+FAN_S = 8  # blocks (tasks) per grid step — amortizes Mosaic's per-step cost
+_TASK_ALIGN = Q_SHARE * FAN_S
+
+
+def shared_task_cap(
+    lengths_np, n_probe: int, nq_tile: int, t_fixed: int,
+    worst_case: bool = False,
+) -> int:
+    """Static task budget for the shared kernel. The worst case
+    sum_b ceil(c_b/Q) <= npairs//Q + min(npairs, nblocks) never drops a
+    (query, chunk) pair; the default sizes to ~1.15x the expected unique-
+    block count + full-task term."""
+    ln = np.asarray(lengths_np, np.float64)
+    npairs = nq_tile * t_fixed
+    nblocks = int(np.ceil(np.maximum(ln, 1) / CHUNK).sum())
+    worst = npairs // Q_SHARE + min(npairs, nblocks) + 1
+    if worst_case:
+        return _round_up(worst, _TASK_ALIGN)
+    n = max(ln.sum(), 1.0)
+    p_probed = np.minimum(1.0, n_probe * ln / n)
+    # P(cluster probed by >= 1 query of the tile) x its chunk count.
+    e_blocks = float(
+        ((1.0 - (1.0 - p_probed) ** nq_tile) * np.ceil(ln / CHUNK)).sum()
+    )
+    exp = int(1.15 * (e_blocks + npairs / Q_SHARE)) + 8
+    from ...ops.gather import quantize_up
+
+    return _round_up(min(worst, quantize_up(exp)), _TASK_ALIGN)
+
+
+def _shared_kernel_factory(d: int, t_fixed: int, metric: str):
+    def kernel(*refs):
+        # refs: qrow,blk,cid (SMEM prefetch), qall, FAN_S x blocks,
+        # FAN_S centroid blocks, FAN_S norm blocks, out plane.
+        qrow_ref, blk_ref, cid_ref = refs[:3]
+        qall_ref = refs[3]
+        x_refs = refs[4 : 4 + FAN_S]
+        c_refs = refs[4 + FAN_S : 4 + 2 * FAN_S]
+        n_refs = refs[4 + 2 * FAN_S : 4 + 3 * FAN_S]
+        out_ref = refs[4 + 3 * FAN_S]
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            out_ref[:] = jnp.full_like(out_ref, jnp.inf)
+
+        for f in range(FAN_S):
+            x = x_refs[f][:]  # (CHUNK, d) residual rows, table dtype
+            c = c_refs[f][0].astype(jnp.float32)  # (1, d) block's centroid
+            nrm = n_refs[f][0, 0]  # (CHUNK,) f32; SENTINEL on pad rows
+            for s in range(Q_SHARE):
+                r = qrow_ref[f, s, t]  # query*t_fixed+slot (trash if unused)
+                qi = r // t_fixed
+                q = qall_ref[pl.ds(qi, 1), :]  # (1, d) f32
+                if metric == "l2":
+                    # |q-x|^2 = |q-c|^2 - 2 (q-c).res + |res|^2
+                    # (large terms exact f32).
+                    qc = q - c
+                    cross = jax.lax.dot_general(
+                        qc.astype(x.dtype), x, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (1, CHUNK)
+                    dist = jnp.sum(qc * qc) - 2.0 * cross + nrm[None, :]
+                else:  # ip: -q.x = -q.c - q.res; sentinel pads penalized
+                    cross = jax.lax.dot_general(
+                        q.astype(x.dtype), x, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    pen = jnp.where(nrm >= 1e29, nrm, 0.0)
+                    dist = -jnp.sum(q * c) - cross + pen[None, :]
+                out_ref[pl.ds(r, 1), :] = dist
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("t_fixed", "t_cap", "metric", "interpret")
+)
+def _block_stream_shared_call(
+    queries,  # (q_pad, d) f32 — whole tile, VMEM-resident (+1 trash row min)
+    vecs,  # (m_pad, d) stream table
+    cent,  # (kc, d) f32
+    norms,  # (m_pad,) f32
+    qrow,  # (FAN_S, Q_SHARE, steps) int32 — query*t_fixed+slot per task slot
+    blk,  # (FAN_S, steps) int32 — block id per task
+    cid,  # (FAN_S, steps) int32 — owning cluster per task
+    *,
+    t_fixed: int,
+    t_cap: int,
+    metric: str,
+    interpret: bool = False,
+):
+    q_pad, d = queries.shape
+    steps = t_cap // FAN_S
+    kernel = _shared_kernel_factory(d, t_fixed, metric)
+
+    def x_spec(f):
+        return pl.BlockSpec(
+            (CHUNK, d), lambda t, qrow, blk, cid, f=f: (blk[f, t], 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def c_spec(f):
+        return pl.BlockSpec(
+            (1, 1, d), lambda t, qrow, blk, cid, f=f: (cid[f, t], 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def n_spec(f):
+        return pl.BlockSpec(
+            (1, 1, CHUNK), lambda t, qrow, blk, cid, f=f: (blk[f, t], 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((q_pad, d), lambda t, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        + [x_spec(f) for f in range(FAN_S)]
+        + [c_spec(f) for f in range(FAN_S)]
+        + [n_spec(f) for f in range(FAN_S)],
+        out_specs=pl.BlockSpec(
+            (q_pad * t_fixed, CHUNK), lambda t, *_: (0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    plane = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((q_pad * t_fixed, CHUNK), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * t_cap * Q_SHARE * CHUNK * d,
+            bytes_accessed=t_cap * CHUNK * d * vecs.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        qrow, blk, cid,
+        queries,
+        *([vecs] * FAN_S),
+        *([cent[:, None, :]] * FAN_S),
+        *([norms.reshape(-1, 1, CHUNK)] * FAN_S),
+    )
+    return plane
+
+
+def block_stream_search_shared(
+    queries,  # (nq, d) f32 (pre-normalized for cosine)
+    table: StreamTable,
+    probe,  # (nq, p) int32 — probed cluster ids, nearest first
+    k: int,
+    *,
+    t_fixed: int,
+    t_cap: int,
+    metric: str = "l2",
+    approx: bool = True,
+    interpret: bool = False,
+):
+    """Shared-block variant of ``block_stream_search``: same contract
+    (-> (D, main rows), inf/-1 padded), but each probed block is fetched
+    once per TILE instead of once per query. Tasks beyond ``t_cap`` are
+    dropped (their slots stay +inf — graceful recall degradation; size
+    t_cap with worst_case=True to forbid drops)."""
+    nq, d = queries.shape
+    p = probe.shape[1]
+
+    sblk0 = table.sblk0[probe]  # (nq, p) start blocks
+    lens = table.lengths[probe]
+    nchunks = -(-lens // CHUNK)
+
+    # Per-query slot grid (nq, t_fixed), nearest probes first (identical to
+    # the per-query kernel's packing).
+    cum = jnp.cumsum(nchunks, axis=1)
+    cum_prev = cum - nchunks
+    s = jnp.arange(t_fixed, dtype=jnp.int32)[None, :]
+    blk2d = jnp.zeros((nq, t_fixed), jnp.int32)
+    for j in range(p):
+        inseg = (s >= cum_prev[:, j : j + 1]) & (s < cum[:, j : j + 1])
+        blk2d = jnp.where(inseg, sblk0[:, j : j + 1] + (s - cum_prev[:, j : j + 1]),
+                          blk2d)
+    valid2d = s < cum[:, -1:]  # slot carries a real (query, chunk) pair
+
+    # Invert to block-major tasks: sort pairs by block id (invalid pairs get
+    # a sentinel key and sink to the end), then cut each block's run into
+    # tasks of Q_SHARE pairs. All gathers/sorts/cumsums — no scatters (XLA
+    # scatters measured ~6 ms/kilobatch in a previous packing design).
+    npairs = nq * t_fixed
+    nblocks = table.m_pad // CHUNK
+    qrow_f = jnp.arange(npairs, dtype=jnp.int32)  # query*t_fixed+slot
+    key = jnp.where(valid2d, blk2d, nblocks).reshape(-1)
+    ordv = jnp.argsort(key, stable=True)
+    ks = key[ordv]
+    qrow_s = qrow_f[ordv]
+
+    iota = jnp.arange(npairs, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones(1, bool), ks[1:] != ks[:-1]]
+    )
+    seg_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, iota, 0)
+    )
+    rank = iota - seg_start
+    newtask = ((rank % Q_SHARE) == 0) & (ks < nblocks)
+    # Task start positions, in block order (stable 0/1 sort compacts them).
+    pos_t = jnp.argsort(jnp.logical_not(newtask), stable=True)[:t_cap]
+    n_tasks = jnp.sum(newtask.astype(jnp.int32))
+    valid_task = jnp.arange(t_cap, dtype=jnp.int32) < n_tasks
+    blk_t = jnp.where(valid_task, ks[pos_t], 0)
+    cid_t = table.blk_cid[blk_t]
+
+    pos = pos_t[None, :] + jnp.arange(Q_SHARE, dtype=jnp.int32)[:, None]
+    pos_c = jnp.minimum(pos, npairs - 1)
+    in_task = valid_task[None, :] & (pos < npairs) & (ks[pos_c] == blk_t[None, :])
+    trash = nq * t_fixed  # extra plane row; q row nq is zero padding
+    qrow_t = jnp.where(in_task, qrow_s[pos_c], trash)
+
+    # Fan-major split: fan f owns tasks [f*steps, (f+1)*steps).
+    steps = t_cap // FAN_S
+    qrow_fan = qrow_t.reshape(Q_SHARE, FAN_S, steps).transpose(1, 0, 2)
+    blk_fan = blk_t.reshape(FAN_S, steps)
+    cid_fan = cid_t.reshape(FAN_S, steps)
+
+    q_pad = nq + 8  # trash row + sublane alignment for the VMEM plane
+    qall = jnp.pad(queries, ((0, q_pad - nq), (0, 0)))
+    plane = _block_stream_shared_call(
+        qall, table.vecs, table.cent, table.norms,
+        qrow_fan, blk_fan, cid_fan,
+        t_fixed=t_fixed, t_cap=t_cap, metric=metric, interpret=interpret,
+    )
+    dist_cat = plane[: nq * t_fixed].reshape(nq, t_fixed * CHUNK)
+
+    if approx and dist_cat.shape[1] > max(512, 2 * k):
+        dvals, ci = jax.lax.approx_min_k(dist_cat, k, recall_target=0.99)
+    else:
+        from ..topk import topk_smallest
+
+        dvals, ci = topk_smallest(dist_cat, k)
+
+    # Lane index -> (slot, lane) -> stream row -> main layout row.
+    ci0 = jnp.maximum(ci, 0)
+    s_sel = ci0 // CHUNK
+    w_sel = ci0 % CHUNK
+    blk_sel = jnp.take_along_axis(blk2d, s_sel, axis=1)
+    srow = blk_sel * CHUNK + w_sel
+    main_rows = table.to_main[srow]
+    real = (ci >= 0) & jnp.isfinite(dvals) & (dvals < 1e29)
     main_rows = jnp.where(real, main_rows, -1)
     dvals = jnp.where(real, dvals, jnp.inf)
     return dvals, main_rows
