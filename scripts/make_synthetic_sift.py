@@ -66,6 +66,11 @@ def main() -> None:
     p.add_argument("--d", type=int, default=128)
     p.add_argument("--k", type=int, default=100)
     p.add_argument("--clusters", type=int, default=4096)
+    p.add_argument(
+        "--spread", type=float, default=30.0,
+        help="within-cluster noise sigma; ~30 gives SIFT-like overlap "
+        "(recall@10 needs nprobe >= 8-16), lower values separate clusters",
+    )
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args()
 
@@ -75,8 +80,8 @@ def main() -> None:
     # center profile plus per-point noise reproduces that and the cluster
     # structure real descriptors have.
     centers = rng.gamma(1.4, 22.0, (args.clusters, args.d)).astype(np.float32)
-    xb = synth_sift_like(args.n, args.d, rng, centers, spread=14.0)
-    xq = synth_sift_like(args.nq, args.d, rng, centers, spread=14.0)
+    xb = synth_sift_like(args.n, args.d, rng, centers, spread=args.spread)
+    xq = synth_sift_like(args.nq, args.d, rng, centers, spread=args.spread)
 
     write_fvecs(os.path.join(args.out, "base.fvecs"), xb)
     write_fvecs(os.path.join(args.out, "query.fvecs"), xq)
