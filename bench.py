@@ -108,7 +108,7 @@ def main() -> None:
         # Barrier every PIPE runs: the tunnel's ~28 ms round-trip would
         # otherwise dominate per-batch times; device execution is serial so
         # the final fetch still bounds all queued runs.
-        PIPE = 8
+        PIPE = 32
         t0 = time.perf_counter()
         nrun = 0
         while True:

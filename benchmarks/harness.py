@@ -60,7 +60,9 @@ def eval_setting(
 
     # Barrier every PIPE runs: device execution is serial, so the final 4-byte
     # fetch bounds all queued runs without paying the host round-trip per run.
-    PIPE = 8
+    # Depth 32 keeps the ~28 ms tunnel round-trip under ~1 ms/run of bias
+    # (at 8 it inflated every measured batch by ~3.5 ms).
+    PIPE = 32
     t0 = time.perf_counter()
     nrun = 0
     while True:

@@ -620,13 +620,32 @@ class IvfIndex:
             # probed CHUNK blocks (bf16) with ~50% fixed-overhead markup.
             # Measured crossover on v5e: dense wins to ~150k rows, stream
             # beyond (2.8x flat at n=1M, nprobe<=8, recall 1.0).
-            from ..ops.pallas.block_stream import CHUNK, per_query_slots
+            from ..ops.pallas.block_stream import (
+                CHUNK,
+                per_query_slots,
+                shared_task_cap,
+            )
 
             t_fixed = per_query_slots(np.asarray(lay.lengths), n_probe)
             q_tile_d = pick_q_tile(nq, lay.vectors.shape[0] * 4 // d, d)
             dense_cost = -(-nq // q_tile_d) * lay.vectors.shape[0] * d * 4
             stream_cost = int(nq * t_fixed * CHUNK * d * 2 * 1.5)
             method = "dense" if dense_cost <= stream_cost else "stream"
+            if method == "stream":
+                # Block-major sharing pays when many queries of a tile probe
+                # the same blocks: measured on v5e it wins at sharing ratio
+                # (pairs per task) >= ~3.5 (e.g. n=100k, nq=1024, nprobe<=8
+                # -> 1.6x) and loses below (its dynamic row writes cost more
+                # per task than the per-query kernel's streaming).
+                q_tile_s = max(
+                    8, min(1024, ((8 << 20) // (t_fixed * CHUNK * 4)) // 8 * 8)
+                )
+                q_tile_s = min(q_tile_s, _round_up(nq, 8))
+                t_cap_s = shared_task_cap(
+                    np.asarray(lay.lengths), n_probe, q_tile_s, t_fixed
+                )
+                if q_tile_s * t_fixed >= 3.5 * t_cap_s:
+                    method = "stream_shared"
 
         centroids, c_sq = self._device_tables()
         if method in ("flat", "flat_exact"):
