@@ -407,6 +407,7 @@ class IvfIndex:
         k = max(1, min(k, n))
         iters = max_iters if max_iters is not None else calculate_max_iterations(n)
         log.info("ivf.fit: n=%d dim=%d nlist=%d max_iters=%d", n, dim, k, iters)
+        data_host = data  # numpy, internal-id order (post normalization)
 
         # Default trainer is FULL-BATCH Lloyd: on the MXU a full assignment
         # sweep is a tiled matmul (~1 TFLOP/iter at n=1M, k=4000 — cents),
@@ -484,6 +485,11 @@ class IvfIndex:
         idx.num_shards = num_shards
         idx.external_ids = store.external_ids
         idx.timestamps = store.timestamps
+        # Host mirror of the (possibly normalized) corpus in internal-id
+        # order: lets persistence serialize shard payloads without fetching
+        # the packed table back from HBM (~0.5 GB d2h at 1M — minutes over
+        # this environment's tunnel).
+        idx._host_data = data_host
         # Lay clusters of the same shard contiguously so multi-chip sharding
         # (and shard files) slice contiguous row ranges.
         cluster_order = np.argsort(idx.centroids_to_shard, kind="stable")
