@@ -194,3 +194,19 @@ def test_assign_points_pallas_dispatch(rng):
     l_p, d_p = assign_points(x, c, method="pallas")
     np.testing.assert_array_equal(np.asarray(l_d), np.asarray(l_p))
     np.testing.assert_allclose(np.asarray(d_d), np.asarray(d_p), rtol=1e-4, atol=1e-4)
+
+
+def test_fast_iters_quality_parity(rng):
+    """bf16-pass training iterations must not damage clustering quality:
+    inertia within 5% of the exact-iteration run (final labels are exact
+    either way)."""
+    from vector_indexer_tpu.models.kmeans import run_kmeans_lloyd
+
+    from conftest import make_gaussian_clusters
+
+    data, _, _ = make_gaussian_clusters(10, 200, 24, spread=0.5, separation=6.0)
+    fast = run_kmeans_lloyd(data, 10, 50, seed=5, fast_iters=True)
+    exact = run_kmeans_lloyd(data, 10, 50, seed=5, fast_iters=False)
+    i_fast = compute_inertia(data, fast.centroids, fast.labels)
+    i_exact = compute_inertia(data, exact.centroids, exact.labels)
+    assert i_fast <= i_exact * 1.05

@@ -83,10 +83,13 @@ def test_stream_bf16_residual_recall(built):
 def test_stream_truncation_drops_farthest_first(built):
     # With a tiny forced slot budget the nearest probed lists must survive:
     # the self-hit (in the nearest cell) is never the candidate dropped.
+    # (FAN is patched down so the forced t_fixed=8 stays a FAN multiple.)
     from unittest import mock
 
+    from vector_indexer_tpu.ops.pallas import block_stream as bs
+
     idx, data = built
-    with mock.patch(
+    with mock.patch.object(bs, "FAN", 4), mock.patch(
         "vector_indexer_tpu.ops.pallas.block_stream.per_query_slots",
         return_value=8,
     ):

@@ -331,14 +331,25 @@ def _rms_delta(curr: jax.Array, prev: jax.Array) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "max_iters", "chunk", "spherical")
+    jax.jit,
+    static_argnames=("k", "max_iters", "chunk", "spherical", "fast_iters"),
 )
 def _lloyd_loop(data, init_centroids, key, k, max_iters, tol, chunk,
-                spherical=False):
+                spherical=False, fast_iters=False):
     n, d = data.shape
     tiles, n_pad = _pad_tiles(data, chunk)
     num_tiles = n_pad // chunk
     row_iota = jnp.arange(chunk)
+    # Training-iteration assignment MAY run single-pass (bf16 inputs, f32
+    # accumulation): boundary points near argmin ties flip, which barely
+    # moves the means, and the FINAL assignment (posting lists) is computed
+    # exactly outside this loop. Measured A/B at n=1M, k=4000 on v5e: the
+    # loop is NOT matmul-bound (exact and fast both ~5s for 20 iterations;
+    # the apparent slowness of first runs is the lazy 512 MB h2d), so the
+    # default stays exact; the option is kept for matmul-bound shapes.
+    iter_prec = (
+        jax.lax.Precision.DEFAULT if fast_iters else jax.lax.Precision.HIGHEST
+    )
 
     def stats(centroids):
         c_sq = sq_norms(centroids)
@@ -346,7 +357,8 @@ def _lloyd_loop(data, init_centroids, key, k, max_iters, tol, chunk,
         def step(carry, inp):
             sums, counts = carry
             xt, start = inp
-            dmat = pairwise_sq_l2(xt, centroids, c_sq=c_sq)
+            dmat = pairwise_sq_l2(xt, centroids, c_sq=c_sq,
+                                  precision=iter_prec)
             lbl = jnp.argmin(dmat, axis=1).astype(jnp.int32)
             valid = ((start + row_iota) < n).astype(jnp.float32)
             s, c = _segment_stats(xt, lbl, k, valid=valid)
@@ -392,10 +404,13 @@ def run_kmeans_lloyd(
     seed: int = 42,
     chunk: int = _ASSIGN_CHUNK,
     spherical: bool = False,
+    fast_iters: bool = False,
 ) -> KMeansResult:
     """Full-batch Lloyd (parity: run_kmeans_parallel, kmeans.rs:15-60).
 
-    ``spherical=True`` renormalizes centroids each step (cosine builds)."""
+    ``spherical=True`` renormalizes centroids each step (cosine builds).
+    ``fast_iters`` runs the per-iteration assignment single-pass (bf16
+    inputs); the final labels are always computed exactly."""
     data = _check_data(data)
     tol = _DEFAULT_TOL if early_stop_threshold is None else early_stop_threshold
     init = kmeans_plus_plus_init(data, k, seed=seed)
@@ -403,7 +418,7 @@ def run_kmeans_lloyd(
     chunk = min(chunk, max(8, data.shape[0]))
     centroids, iters, converged = _lloyd_loop(
         data, init, key, k, max_iters, jnp.float32(tol), chunk,
-        spherical=spherical,
+        spherical=spherical, fast_iters=fast_iters,
     )
     labels, _ = assign_points(data, centroids, chunk=chunk)
     return KMeansResult(centroids, labels, int(iters), bool(converged))

@@ -30,17 +30,25 @@ def pairwise_sq_l2(
     c: jax.Array,
     c_sq: jax.Array | None = None,
     x_sq: jax.Array | None = None,
+    precision=None,
 ) -> jax.Array:
     """Full pairwise squared-L2 matrix. x: (n, d), c: (k, d) -> (n, k).
 
     Precomputed norms may be passed to amortize them across calls (the coarse
-    quantizer reuses centroid norms for every query batch).
+    quantizer reuses centroid norms for every query batch). ``precision``
+    defaults to HIGHEST (exact f32 passes); pass
+    ``jax.lax.Precision.DEFAULT`` for single-pass bf16 inputs where argmin
+    ties may flip (e.g. k-means training iterations) at ~3x MXU throughput.
     """
     if x_sq is None:
         x_sq = sq_norms(x)
     if c_sq is None:
         c_sq = sq_norms(c)
-    cross = jnp.dot(x, c.T, precision=_PRECISION, preferred_element_type=jnp.float32)
+    cross = jnp.dot(
+        x, c.T,
+        precision=_PRECISION if precision is None else precision,
+        preferred_element_type=jnp.float32,
+    )
     d = x_sq[:, None] - 2.0 * cross + c_sq[None, :]
     # The expansion can go epsilon-negative from cancellation; distances are
     # non-negative by definition.
