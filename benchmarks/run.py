@@ -100,6 +100,11 @@ def main() -> None:
             index, xq, gt, args.k, args.nprobes, args.min_time,
             method=args.method,
         )
+    if args.backend in ("cpu", "both") and args.metric != "l2":
+        raise SystemExit(
+            "--backend cpu/both supports --metric l2 only (the numpy "
+            "IVF-Flat comparator ranks by squared L2)"
+        )
     if args.backend in ("cpu", "both"):
         from .cpu_ivf import NumpyIvfFlat, labels_from_layout
 
