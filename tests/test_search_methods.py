@@ -180,3 +180,44 @@ def test_stream_shared_metrics(built):
                                 method="gather")
         for a, b in zip(I, Ie):
             assert set(a.tolist()) == set(b.tolist()), metric
+
+
+def test_stream_shared_tiny_batch_many_blocks():
+    """Regression: a tiny query batch against a many-block table used to
+    blow the worst-case task bound past npairs (argsort under-slice ->
+    shape mismatch). Tasks can never exceed the pair count."""
+    from conftest import make_gaussian_clusters
+
+    data, _, _ = make_gaussian_clusters(80, 40, 16, spread=0.4, separation=8.0)
+    store = VectorStore(
+        external_ids=np.arange(len(data), dtype=np.uint64), vectors=data
+    )
+    idx = IvfIndex.fit(store, seed=9)
+    q = data[:8]
+    D, I = idx.search_batch(q, k=5, n_probe=8, method="stream_shared_exact")
+    De, Ie = idx.search_batch(q, k=5, n_probe=8, method="gather")
+    for a, b in zip(I, Ie):
+        assert set(a.tolist()) == set(b.tolist())
+
+
+def test_stream_bf16_whale_cluster_shortlist():
+    """Regression: when k-means leaves high-spread (whale) clusters, bf16
+    residual distance error scales with the spread and a narrow re-rank
+    shortlist dropped true neighbors (found at d=64, 80 true centers vs
+    nlist=113 — mixed clusters with |residual| ~ 50). The widened shortlist
+    floor must recover the exact result set."""
+    d = 64
+    g = np.random.default_rng(9)
+    centers = g.normal(0, 8, (80, d)).astype(np.float32)
+    data = (centers[g.integers(0, 80, 3200)] + g.normal(0, 0.4, (3200, d))).astype(
+        np.float32
+    )
+    idx = IvfIndex.fit(
+        VectorStore(external_ids=np.arange(3200, dtype=np.uint64), vectors=data),
+        seed=9,
+    )
+    for method in ("stream", "stream_shared"):
+        D, I = idx.search_batch(data[:8], 5, 8, method=method)
+        De, Ie = idx.search_batch(data[:8], 5, 8, method="gather")
+        for a, b in zip(I, Ie):
+            assert set(a.tolist()) == set(b.tolist()), method

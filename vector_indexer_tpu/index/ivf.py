@@ -280,9 +280,14 @@ def _ivf_search_stream_program(
         else:
             _, probe = jax.lax.top_k(-dcoarse, n_probe)  # (q_tile, n_probe)
 
-        # Low-precision selection keeps a 2k-wide shortlist for the exact
+        # Low-precision selection keeps a widened shortlist for the exact
         # re-rank, absorbing bf16 ordering noise near the k-th boundary.
-        kk = min(2 * k, t_fixed * 256) if rerank else k
+        # The floor of 64 covers small k: residual-bf16 distance error is
+        # proportional to CLUSTER SPREAD (|q-c|*0.4%*|r|), so corpora whose
+        # k-means leaves high-spread (whale) clusters can distort individual
+        # distances by whole units — a 2k shortlist at k=5 then drops real
+        # neighbors. stream_exact remains the exactness escape hatch.
+        kk = min(max(2 * k, 64), t_fixed * 256) if rerank else k
         if shared:
             dvals, rows = block_stream_search_shared(
                 qt, stream_table, probe, kk,

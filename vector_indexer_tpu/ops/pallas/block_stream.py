@@ -188,6 +188,19 @@ def per_query_slots(lengths_np, n_probe: int, worst_case: bool = False) -> int:
     return _round_up(quantize_up(t), FAN)
 
 
+def _dot_precision(dtype):
+    """In-kernel dots default to single bf16 MXU passes even for f32
+    operands; an f32 (exact) table must request HIGHEST or its distances
+    silently carry ~0.2%-of-magnitude error (measured as negative
+    self-distances on real TPU; interpret mode does not reproduce it).
+    bf16 tables already quantized their operands, so DEFAULT is right."""
+    return (
+        jax.lax.Precision.HIGHEST
+        if jnp.dtype(dtype) == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+
 def _kernel_factory(d: int, metric: str):
     def kernel(*refs):
         # refs: blk,cid (SMEM prefetch), FAN q blocks, FAN x blocks,
@@ -201,12 +214,14 @@ def _kernel_factory(d: int, metric: str):
             q = q_refs[f][0].astype(jnp.float32)  # (1, d)
             c = c_refs[f][0].astype(jnp.float32)  # (1, d) this block's centroid
             x = x_refs[f][:]  # (CHUNK, d) residual rows, table dtype
+            prec = _dot_precision(x.dtype)
             if metric == "l2":
                 # |q-x|^2 = |q-c|^2 - 2 (q-c).res + |res|^2: the large terms
                 # are exact f32; only the small cross term sees table dtype.
                 qc = q - c
                 cross = jax.lax.dot_general(
                     qc.astype(x.dtype), x, (((1,), (1,)), ((), ())),
+                    precision=prec,
                     preferred_element_type=jnp.float32,
                 )  # (1, CHUNK)
                 qc_sq = jnp.sum(qc * qc)
@@ -214,6 +229,7 @@ def _kernel_factory(d: int, metric: str):
             else:  # ip: -q.x = -q.c - q.res (q.c exact f32)
                 cross = jax.lax.dot_general(
                     q.astype(x.dtype), x, (((1,), (1,)), ((), ())),
+                    precision=prec,
                     preferred_element_type=jnp.float32,
                 )
                 dist = -jnp.sum(q * c) - cross
@@ -448,7 +464,9 @@ def shared_task_cap(
     ln = np.asarray(lengths_np, np.float64)
     npairs = nq_tile * t_fixed
     nblocks = int(np.ceil(np.maximum(ln, 1) / CHUNK).sum())
-    worst = npairs // Q_SHARE + min(npairs, nblocks) + 1
+    # A task holds >= 1 pair, so npairs is itself a hard task bound (the
+    # sum bound below can exceed it when nblocks is large vs a small tile).
+    worst = min(npairs, npairs // Q_SHARE + min(npairs, nblocks) + 1)
     if worst_case:
         return _round_up(worst, _TASK_ALIGN)
     n = max(ln.sum(), 1.0)
@@ -483,6 +501,7 @@ def _shared_kernel_factory(d: int, t_fixed: int, metric: str):
             x = x_refs[f][:]  # (CHUNK, d) residual rows, table dtype
             c = c_refs[f][0].astype(jnp.float32)  # (1, d) block's centroid
             nrm = n_refs[f][0, 0]  # (CHUNK,) f32; SENTINEL on pad rows
+            prec = _dot_precision(x.dtype)
             for s in range(Q_SHARE):
                 r = qrow_ref[f, s, t]  # query*t_fixed+slot (trash if unused)
                 qi = r // t_fixed
@@ -493,12 +512,14 @@ def _shared_kernel_factory(d: int, t_fixed: int, metric: str):
                     qc = q - c
                     cross = jax.lax.dot_general(
                         qc.astype(x.dtype), x, (((1,), (1,)), ((), ())),
+                        precision=prec,
                         preferred_element_type=jnp.float32,
                     )  # (1, CHUNK)
                     dist = jnp.sum(qc * qc) - 2.0 * cross + nrm[None, :]
                 else:  # ip: -q.x = -q.c - q.res; sentinel pads penalized
                     cross = jax.lax.dot_general(
                         q.astype(x.dtype), x, (((1,), (1,)), ((), ())),
+                        precision=prec,
                         preferred_element_type=jnp.float32,
                     )
                     pen = jnp.where(nrm >= 1e29, nrm, 0.0)
@@ -640,7 +661,13 @@ def block_stream_search_shared(
     rank = iota - seg_start
     newtask = ((rank % Q_SHARE) == 0) & (ks < nblocks)
     # Task start positions, in block order (stable 0/1 sort compacts them).
-    pos_t = jnp.argsort(jnp.logical_not(newtask), stable=True)[:t_cap]
+    # t_cap may exceed npairs only through alignment rounding; pad with
+    # position 0 — valid_task masks the padding.
+    pos_all = jnp.argsort(jnp.logical_not(newtask), stable=True)
+    if t_cap <= npairs:
+        pos_t = pos_all[:t_cap]
+    else:
+        pos_t = jnp.pad(pos_all, (0, t_cap - npairs))
     n_tasks = jnp.sum(newtask.astype(jnp.int32))
     valid_task = jnp.arange(t_cap, dtype=jnp.int32) < n_tasks
     blk_t = jnp.where(valid_task, ks[pos_t], 0)

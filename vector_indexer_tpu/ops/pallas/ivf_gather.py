@@ -94,11 +94,15 @@ def _kernel_factory(p: int, max_len_pad: int, d: int, budget_pad: int, chunk: in
                 def _(j=j, c=c, start=start):
                     dma(j, c, start).wait()
 
-        # One MXU matvec over all probes' rows at once.
+        # One MXU matvec over all probes' rows at once. HIGHEST precision:
+        # the in-kernel default is a single bf16 pass, which silently skews
+        # f32 distances (see block_stream._dot_precision).
         q = q_ref[0]  # (1, d)
         x = scratch[:].reshape(p * max_len_pad, d)
         cross = jax.lax.dot_general(
-            x, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            x, q, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
         )[:, 0]
         norms = jnp.sum(x * x, axis=1)
         q_sq = jnp.sum(q * q)
