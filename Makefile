@@ -16,4 +16,6 @@ bench-quick: native
 
 clean:
 	$(MAKE) -C vector_indexer_tpu/storage/native clean
-	rm -rf bench_results
+	# Only scratch outputs; committed artifacts (sift1m, scale4m, ...) stay.
+	rm -rf bench_results/run bench_results/sweep bench_results/sweep.json \
+	       bench_results/sweep.md
