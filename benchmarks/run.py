@@ -68,6 +68,15 @@ def main() -> None:
     p.add_argument("--out", default="bench_results/run")
     args = p.parse_args()
 
+    # Validate incompatible flag combinations up front, before the dataset
+    # load and the (minutes-long) TPU sweep that a late SystemExit would
+    # otherwise discard.
+    if args.backend in ("cpu", "both") and args.metric != "l2":
+        raise SystemExit(
+            "--backend cpu/both supports --metric l2 only (the numpy "
+            "IVF-Flat comparator ranks by squared L2)"
+        )
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/vix_jax_cache_bench")
@@ -99,11 +108,6 @@ def main() -> None:
         results = harness.run_sweep(
             index, xq, gt, args.k, args.nprobes, args.min_time,
             method=args.method,
-        )
-    if args.backend in ("cpu", "both") and args.metric != "l2":
-        raise SystemExit(
-            "--backend cpu/both supports --metric l2 only (the numpy "
-            "IVF-Flat comparator ranks by squared L2)"
         )
     if args.backend in ("cpu", "both"):
         from .cpu_ivf import NumpyIvfFlat, labels_from_layout

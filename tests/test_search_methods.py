@@ -200,6 +200,27 @@ def test_stream_shared_tiny_batch_many_blocks():
         assert set(a.tolist()) == set(b.tolist())
 
 
+def test_dense_approx_branch_exact_distances():
+    """n > 50k switches 'dense'/'flat' onto the approx branch (bf16-input
+    sweep + approx_min_k + exact f32 re-rank). The returned distances must
+    be exact f32 — equal to the brute-force oracle for the ids returned —
+    and the self-hit must survive the approximate selection."""
+    g = np.random.default_rng(3)
+    n, d = 50_200, 8
+    data = g.normal(0, 1, (n, d)).astype(np.float32)
+    idx = IvfIndex.fit(
+        VectorStore(external_ids=np.arange(n, dtype=np.uint64), vectors=data),
+        seed=3, nlist=64, max_iters=4,
+    )
+    q = data[:8]
+    for method in ("dense", "flat"):
+        D, I = idx.search_batch(q, k=10, n_probe=16, method=method)
+        assert (I[:, 0] == np.arange(8)).all(), method
+        ok = I >= 0
+        expect = ((q[:, None, :] - data[np.maximum(I, 0)]) ** 2).sum(-1)
+        np.testing.assert_allclose(D[ok], expect[ok], rtol=1e-4, atol=1e-4)
+
+
 def test_stream_bf16_whale_cluster_shortlist():
     """Regression: when k-means leaves high-spread (whale) clusters, bf16
     residual distance error scales with the spread and a narrow re-rank

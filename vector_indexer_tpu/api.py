@@ -49,6 +49,11 @@ class VectorIndexerConfig:
     # 'cosine'. For 'ip'/'cosine' returned distances are negated similarities
     # (ascending = most similar first).
     metric: str = "l2"
+    # Extension: SOAR spilled assignment (0 = reference-parity single
+    # assignment; 1 = each vector also joins an orthogonality-weighted
+    # secondary cell, ~doubling recall-per-probe on hard isotropic data at
+    # the cost of 2x posting rows; search de-duplicates ids).
+    spill: int = 0
 
     def __post_init__(self):
         self.index_dir = Path(self.index_dir)
@@ -56,6 +61,9 @@ class VectorIndexerConfig:
 
     def with_metric(self, metric: str) -> "VectorIndexerConfig":
         return dataclasses.replace(self, metric=metric)
+
+    def with_spill(self, spill: int) -> "VectorIndexerConfig":
+        return dataclasses.replace(self, spill=spill)
 
     def with_index_dir(self, index_dir) -> "VectorIndexerConfig":
         return dataclasses.replace(self, index_dir=Path(index_dir))
@@ -176,7 +184,9 @@ class VectorIndexer:
             )
         # Fixed seed for API builds: deterministic, not configurable
         # (parity: api.rs:143).
-        self.index = IvfIndex.fit(store, seed=42, metric=self.cfg.metric)
+        self.index = IvfIndex.fit(
+            store, seed=42, metric=self.cfg.metric, spill=self.cfg.spill
+        )
         self.index.save_shards_to(self.cfg.shards_dir)
         self.index.save_to(self.cfg.index_dir)
         return self

@@ -124,14 +124,18 @@ def build(
     xb: np.ndarray,
     work_dir: Optional[str] = None,
     metric: str = "l2",
+    spill: int = 0,
 ) -> VectorIndex:
-    """Build an index from an (n, d) float32 array; external_id = row index."""
+    """Build an index from an (n, d) float32 array; external_id = row index.
+
+    ``spill=1`` adds a SOAR secondary assignment per vector (higher
+    recall-per-probe on hard data, 2x posting rows; results de-duplicated)."""
     xb = np.ascontiguousarray(xb, dtype=np.float32)
     if xb.ndim != 2 or xb.shape[0] == 0:
         raise ValueError("xb must be a non-empty (n, d) array")
     wd = Path(work_dir) if work_dir else _default_work_dir()
     cfg = (
-        VectorIndexerConfig(xb.shape[1], metric=metric)
+        VectorIndexerConfig(xb.shape[1], metric=metric, spill=spill)
         .with_index_dir(wd / "index")
         .with_shards_dir(wd / "shards")
     )

@@ -75,6 +75,30 @@ def _score(qt, table, table_norms, q_sq, metric, precision=None):
     return -cross + penalty[None, :]
 
 
+def _exact_rerank(qt, q_sq, rows, vectors, row_norms, k, metric):
+    """Exact f32 re-rank of a selected shortlist: recompute the winners'
+    distances from the f32 table and re-select the top k. This removes the
+    fast sweeps' bf16 cross-term error (~0.2% of |q||x| — whole units on
+    raw far-from-origin vectors) from both the returned distances and the
+    near-boundary ordering. rows < 0 slots pass through as +inf/-1;
+    sentinel rows keep their >=1e29 penalty and can never win."""
+    rows0 = jnp.maximum(rows, 0)
+    cand = vectors[rows0]  # (q, kk, d)
+    cross = jnp.einsum(
+        "qd,qkd->qk", qt, cand, precision=jax.lax.Precision.HIGHEST
+    )
+    norms_sel = row_norms[rows0]
+    if metric == "l2":
+        exact = jnp.maximum(q_sq[:, None] - 2.0 * cross + norms_sel, 0.0)
+    else:
+        exact = -cross + jnp.where(norms_sel >= 1e29, norms_sel, 0.0)
+    exact = jnp.where(rows >= 0, exact, jnp.inf)
+    dv, order = topk_smallest(exact, k)
+    rsel = jnp.take_along_axis(rows, jnp.maximum(order, 0), axis=1)
+    rsel = jnp.where((order >= 0) & jnp.isfinite(dv), rsel, -1)
+    return dv, rsel
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "n_probe", "budget", "q_tile", "metric")
 )
@@ -205,12 +229,19 @@ def _ivf_search_dense_program(
         if approx:
             # Hardware PartialReduce selection: ~12x faster than exact top_k
             # at (256, 100k) -> 100 (measured 31ms -> 2.6ms per 1024-query
-            # batch). Distances stay exact f32; per-element selection recall
-            # is >= recall_target and shows up honestly in measured R@k.
-            # (A bf16 selection sweep + exact re-rank variant measured 3x
-            # SLOWER end-to-end: the survivor row gather dominates.)
-            neg, rows = jax.lax.approx_min_k(dist, k, recall_target=0.99)
-            dvals = neg
+            # batch), over the single-pass bf16-input sweep. A slightly
+            # widened shortlist is then re-ranked in exact f32: the sweep's
+            # bf16 cross-term error scales with |q||x| (not residual spread)
+            # and would otherwise leak into returned distances and boundary
+            # rankings. The widening absorbs most selection-boundary noise;
+            # re-ranking ~k+32 rows costs a tiny gather (a 2k-wide variant
+            # measured 3x slower end-to-end — the survivor gather dominates
+            # at that width).
+            kk = min(k + max(16, k // 4), dist.shape[1])
+            dvals, rows = jax.lax.approx_min_k(dist, kk, recall_target=0.99)
+            dvals, rows = _exact_rerank(
+                qt, q_sq, rows, vectors, row_norms, k, metric
+            )
         else:
             dvals, rows = topk_smallest(dist, k)
         # Sentinel (gap/tail) rows never count as results.
@@ -327,6 +358,24 @@ def _ivf_search_stream_program(
     return dvals.reshape(nq_pad, k), rows.reshape(nq_pad, k)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _dedup_topk(dvals, rows, perm_dev, *, k: int):
+    """Collapse duplicate internal ids in a (nq, kk) candidate list (kk >=
+    2k on spilled indexes, where a vector can surface from both its cells)
+    and re-select the top k. Duplicates carry identical exact distances, so
+    keeping the first occurrence is exact."""
+    ids = jnp.where(rows >= 0, perm_dev[jnp.maximum(rows, 0)], -1)
+    kk = ids.shape[1]
+    eq = (ids[:, :, None] == ids[:, None, :]) & (ids[:, None, :] >= 0)
+    lower = jnp.tril(jnp.ones((kk, kk), bool), -1)  # j strictly before i
+    dup = (eq & lower[None]).any(axis=2)
+    dist = jnp.where(dup | (rows < 0), jnp.inf, dvals)
+    dv, sel = topk_smallest(dist, k)
+    rsel = jnp.take_along_axis(rows, jnp.maximum(sel, 0), axis=1)
+    rsel = jnp.where((sel >= 0) & jnp.isfinite(dv), rsel, -1)
+    return dv, rsel
+
+
 @functools.partial(jax.jit, static_argnames=("k", "q_tile", "approx", "metric"))
 def _flat_search_program(
     queries,  # (nq_pad, d)
@@ -354,7 +403,14 @@ def _flat_search_program(
         prec = jax.lax.Precision.DEFAULT if approx else None
         dist = _score(qt, vectors, row_norms, q_sq, metric, precision=prec)
         if approx:
-            dvals, rows = jax.lax.approx_min_k(dist, k, recall_target=0.99)
+            # Widened approx selection + exact f32 re-rank (see the dense
+            # path): returned distances are exact; selection noise from the
+            # bf16 sweep is absorbed by the widening.
+            kk = min(k + max(16, k // 4), dist.shape[1])
+            dvals, rows = jax.lax.approx_min_k(dist, kk, recall_target=0.99)
+            dvals, rows = _exact_rerank(
+                qt, q_sq, rows, vectors, row_norms, k, metric
+            )
         else:
             dvals, rows = topk_smallest(dist, k)
         # Sentinel (gap/tail) rows never count as results.
@@ -380,6 +436,9 @@ class IvfIndex:
         self.centroids_to_shard = np.zeros(0, np.int32)
         self.num_shards = 0
         self.layout: Optional[PostingLayout] = None
+        # Secondary assignments per vector (0 = reference-parity single
+        # assignment; 1 = SOAR spill, search de-duplicates ids).
+        self.spill = 0
         # Host-side record columns, in *internal id* order.
         self.external_ids = np.zeros(0, np.uint64)
         self.timestamps = np.zeros(0, np.uint64)
@@ -406,6 +465,8 @@ class IvfIndex:
         trainer: str = "lloyd",
         mesh=None,
         mesh_axis: str = "shards",
+        spill: int = 0,
+        spill_lambda: float = 1.0,
     ) -> "IvfIndex":
         n = len(store)
         if n == 0:
@@ -472,6 +533,34 @@ class IvfIndex:
         centroids = np.asarray(kres.centroids)
         labels = np.asarray(kres.labels).astype(np.int64)
 
+        # Spilled (multi-) assignment: each vector also joins its SOAR-picked
+        # secondary cell. On near-isotropic data, balanced cells give a true
+        # NN only ~40% odds of sharing a probed cell at nprobe=64/1268; a
+        # second, orthogonality-weighted assignment roughly doubles coverage
+        # per probe at the cost of 2x posting rows. Opt-in (default keeps the
+        # reference's single-assignment semantics and its no-duplicate-ids
+        # invariant; search de-duplicates when spill is on).
+        entry_labels, point_ids = labels, None
+        if spill:
+            if spill != 1:
+                raise ValueError("spill supports 0 or 1 secondary assignments")
+            from ..ops.distance import assign_spill_chunked
+
+            with trace("fit.spill", n=n):
+                labels2 = np.asarray(
+                    assign_spill_chunked(
+                        data if isinstance(data, jax.Array)
+                        else jnp.asarray(data_host),
+                        jnp.asarray(centroids),
+                        jnp.asarray(labels.astype(np.int32)),
+                        soar_lambda=spill_lambda,
+                    )
+                ).astype(np.int64)
+            entry_labels = np.concatenate([labels, labels2])
+            point_ids = np.concatenate(
+                [np.arange(n, dtype=np.int64)] * 2
+            )
+
         # Super-centroid clustering over the (unfiltered) centroid table.
         num_shards = num_shards_for(k)
         super_seed = (seed * 31 + 7) % (2**63)
@@ -483,7 +572,7 @@ class IvfIndex:
             shard_labels_all = np.asarray(sres.labels).astype(np.int64)
 
         # Filter empty posting lists; densify centroid ids (order-preserving).
-        counts = np.bincount(labels, minlength=k)
+        counts = np.bincount(entry_labels, minlength=k)
         keep = np.flatnonzero(counts > 0)
         log.info(
             "ivf.fit: filtered %d empty lists, %d remain, %d shards",
@@ -491,9 +580,10 @@ class IvfIndex:
         )
         old_to_new = np.full(k, -1, np.int64)
         old_to_new[keep] = np.arange(len(keep))
-        new_labels = old_to_new[labels]
+        new_labels = old_to_new[entry_labels]
 
         idx = cls(dim, metric=metric)
+        idx.spill = int(spill)
         idx.centroids = centroids[keep]
         idx.centroids_to_shard = shard_labels_all[keep].astype(np.int32)
         idx.num_shards = num_shards
@@ -508,7 +598,10 @@ class IvfIndex:
         # (and shard files) slice contiguous row ranges.
         cluster_order = np.argsort(idx.centroids_to_shard, kind="stable")
         with trace("fit.layout", n=n, clusters=len(keep)):
-            idx.layout = build_layout(data, new_labels, len(keep), cluster_order)
+            idx.layout = build_layout(
+                data, new_labels, len(keep), cluster_order,
+                point_ids=point_ids,
+            )
         return idx
 
     # ------------------------------------------------------------------
@@ -582,21 +675,44 @@ class IvfIndex:
         internal = np.where(irows >= 0, lay.perm[np.clip(irows, 0, bound)], -1)
         return dvals, internal.astype(np.int64)
 
+    def _perm_dev_table(self):
+        """Device int32 map layout row -> internal id (-1 on gap/tail rows),
+        for on-device dedup of spilled results. Cached per layout object."""
+        lay = self.layout
+        if getattr(self, "_perm_dev", None) is None or self._perm_dev_lay is not lay:
+            n_pad = lay.vectors.shape[0]
+            pd = np.full(n_pad, -1, np.int64)
+            pd[: lay.rows_used] = lay.perm
+            self._perm_dev = jnp.asarray(pd, jnp.int32)
+            self._perm_dev_lay = lay
+        return self._perm_dev
+
     def search_batch_device(
         self,
         queries: np.ndarray,
         k: int,
         n_probe: int,
         method: str = "auto",
+        _raw: bool = False,
     ):
         """Device-side search returning jax arrays (D, layout_rows) of shape
-        (nq_pad, k) — no device->host transfer (bench/serving hot path)."""
+        (nq_pad, k) — no device->host transfer (bench/serving hot path).
+
+        On spilled indexes a vector can appear in up to 1+spill probed
+        cells; the underlying program then runs at width (1+spill)*k and an
+        on-device pass drops duplicate ids before the final top-k."""
         if self.layout is None or self.num_clusters == 0:
             raise RuntimeError("index is empty: fit or load it first")
         if k <= 0:
             raise ValueError("k must be > 0")
         if n_probe <= 0:
             raise ValueError("n_probe must be > 0")
+        if getattr(self, "spill", 0) and not _raw:
+            kk = (1 + self.spill) * k
+            dv, rows = self.search_batch_device(
+                queries, kk, n_probe, method, _raw=True
+            )
+            return _dedup_topk(dv, rows, self._perm_dev_table(), k=k)
         staged = isinstance(queries, jax.Array)
         if not staged:
             queries = np.ascontiguousarray(queries, dtype=np.float32)
@@ -864,16 +980,17 @@ class IvfIndex:
         lay = self.layout
         # perm maps layout row -> internal id; invert for payload fetch. After
         # a partial load (missing shard) internal ids can exceed lay.n, so the
-        # inverse is sized by the id space, not the row count. Cache keyed on
-        # the layout object identity: equal-n layouts with different perms
-        # (e.g. a reload) must not serve a stale inverse.
-        if getattr(self, "_perm_inv", None) is None or self._perm_inv_key != id(lay):
+        # inverse is sized by the id space, not the row count. The cache pins
+        # the layout object itself and compares with `is`: an id()-keyed cache
+        # could serve a stale inverse if a replaced layout were garbage
+        # collected and a new one allocated at the same address.
+        if getattr(self, "_perm_inv", None) is None or self._perm_inv_lay is not lay:
             size = int(lay.perm.max()) + 1 if lay.n else 0
             inv = np.full(size, -1, np.int64)
             real = lay.perm >= 0
             inv[lay.perm[real]] = np.flatnonzero(real)
             self._perm_inv = inv
-            self._perm_inv_key = id(lay)
+            self._perm_inv_lay = lay
         row = self._perm_inv[internal_id]
         if row < 0:
             raise KeyError(f"internal id {internal_id} not present in layout")

@@ -82,6 +82,63 @@ def assign_chunked(x: jax.Array, c: jax.Array, chunk: int = 16384):
     return labels.reshape(n_pad)[:n], dists.reshape(n_pad)[:n]
 
 
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def assign_spill_chunked(
+    x: jax.Array,
+    c: jax.Array,
+    labels: jax.Array,
+    soar_lambda=1.0,
+    chunk: int = 8192,
+):
+    """SOAR-style secondary assignment for spilled (multi-assigned) IVF.
+
+    For each point with primary cell ``labels``, picks the secondary cell
+    j != primary minimizing
+
+        ||x - c_j||^2 + lambda * <x - c_j, r>^2 / ||r||^2,
+
+    where r = x - c_primary is the primary residual. The second term
+    penalizes secondary cells whose residual is PARALLEL to the primary's:
+    when quantization error hurts the primary probe it hurts a parallel
+    secondary the same way, so an orthogonal spill cell covers the
+    complementary failure mode (Sun et al., "SOAR", NeurIPS 2023 — public
+    technique). lambda=0 reduces to plain second-nearest. Returns (n,) int32
+    secondary labels.
+
+    x: (n, d), c: (k, d), labels: (n,) int32. Tiled over points like
+    ``assign_chunked``; two matmuls per tile.
+    """
+    n, d = x.shape
+    k = c.shape[0]
+    c_sq = sq_norms(c)
+    lam = jnp.float32(soar_lambda)
+
+    n_pad = -(-n // chunk) * chunk
+    xp = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+    lp = jnp.pad(labels.astype(jnp.int32), (0, n_pad - n))
+    xtiles = xp.reshape(n_pad // chunk, chunk, d)
+    ltiles = lp.reshape(n_pad // chunk, chunk)
+
+    def one_tile(args):
+        xt, lt = args
+        dmat = pairwise_sq_l2(xt, c, c_sq=c_sq)
+        r = xt - c[lt]  # (chunk, d) primary residuals
+        r_sq = sq_norms(r)
+        # <x - c_j, r> = <x, r> - <c_j, r>
+        xr = jnp.sum(xt * r, axis=-1)  # (chunk,)
+        rc = jnp.dot(
+            r, c.T, precision=_PRECISION, preferred_element_type=jnp.float32
+        )  # (chunk, k)
+        proj = xr[:, None] - rc
+        score = dmat + lam * proj * proj / jnp.maximum(r_sq, 1e-12)[:, None]
+        # Exclude the primary cell.
+        score = score.at[jnp.arange(xt.shape[0]), lt].set(jnp.inf)
+        return jnp.argmin(score, axis=1).astype(jnp.int32)
+
+    labels2 = jax.lax.map(one_tile, (xtiles, ltiles))
+    return labels2.reshape(n_pad)[:n]
+
+
 def euclidean_distance_squared(a: jax.Array, b: jax.Array) -> jax.Array:
     """Scalar pair distance (parity helper; reference src/utils.rs:28-30)."""
     diff = jnp.asarray(a) - jnp.asarray(b)

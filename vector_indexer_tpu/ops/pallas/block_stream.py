@@ -646,12 +646,35 @@ def block_stream_search_shared(
     npairs = nq * t_fixed
     nblocks = table.m_pad // CHUNK
     qrow_f = jnp.arange(npairs, dtype=jnp.int32)  # query*t_fixed+slot
-    key = jnp.where(valid2d, blk2d, nblocks).reshape(-1)
-    ordv = jnp.argsort(key, stable=True)
-    ks = key[ordv]
+    blk_f = jnp.where(valid2d, blk2d, nblocks).reshape(-1)
+    slot_f = qrow_f % t_fixed  # probe-rank proxy (slots fill nearest-first)
+
+    # Two-pass ordering so that if tasks overflow t_cap, the DROPPED tasks
+    # are those whose best pair has the worst probe rank — matching the
+    # per-query kernel's farthest-probes-first truncation guarantee (a plain
+    # block-id sort would drop arbitrary tasks, possibly a query's own
+    # nearest cell). Pass 1 groups pairs by (block, probe rank): each
+    # block's segment then leads with the block's best rank. Pass 2 reorders
+    # whole blocks by that rank (invalid pairs keep the sentinel block id
+    # and sink last).
+    # Lexicographic orders via chained stable sorts (int32-safe at any
+    # table scale; composite integer keys could overflow).
+    iota = jnp.arange(npairs, dtype=jnp.int32)
+    ord_s = jnp.argsort(slot_f, stable=True)
+    ord1 = ord_s[jnp.argsort(blk_f[ord_s], stable=True)]  # (blk, slot) order
+    ks1 = blk_f[ord1]
+    is_start1 = jnp.concatenate([jnp.ones(1, bool), ks1[1:] != ks1[:-1]])
+    seg_start1 = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start1, iota, 0)
+    )
+    prio1 = slot_f[ord1][seg_start1]  # block's best probe rank, per pair
+    # (prio, blk) order: pass 1 is already blk-minor, so one stable sort by
+    # prio suffices; same-block pairs stay contiguous (equal prio).
+    ord2 = jnp.argsort(prio1, stable=True)
+    ordv = ord1[ord2]
+    ks = ks1[ord2]
     qrow_s = qrow_f[ordv]
 
-    iota = jnp.arange(npairs, dtype=jnp.int32)
     is_start = jnp.concatenate(
         [jnp.ones(1, bool), ks[1:] != ks[:-1]]
     )

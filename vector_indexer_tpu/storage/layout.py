@@ -64,9 +64,15 @@ def _finalize(
     lengths: np.ndarray,
     num_clusters: int,
     device_put=True,
+    n_real: int | None = None,
 ) -> PostingLayout:
-    """Common packing: place each cluster's rows at its aligned start."""
+    """Common packing: place each cluster's rows at its aligned start.
+
+    ``n_real`` is the distinct-vector count when entries are spilled
+    (multi-assigned) and exceed it; defaults to the entry count."""
     n, d = sorted_vecs.shape if sorted_vecs.ndim == 2 else (0, 1)
+    if n_real is not None and n:
+        n = min(n_real, n)
     if num_clusters and n:
         rows_used = int((starts + _round_up_arr(lengths, ALIGN)).max())
         max_len = int(lengths.max())
@@ -118,6 +124,7 @@ def build_layout(
     num_clusters: int,
     cluster_order: np.ndarray | None = None,
     device_put=True,
+    point_ids: np.ndarray | None = None,
 ) -> PostingLayout:
     """Pack vectors into cluster-contiguous, ALIGN-aligned CSR order.
 
@@ -127,6 +134,11 @@ def build_layout(
     (parity with the empty-list filtering + remap at
     /root/reference/src/ivf_index.rs:122-146).
 
+    ``point_ids`` maps each label entry to its source vector row (= internal
+    id); pass it when entries outnumber vectors, i.e. spilled
+    (multi-assigned) builds where one vector lands in several posting lists.
+    Default: entry i is vector i.
+
     When ``vectors`` is already a device array (the trainer staged it), the
     permuted table is built by a DEVICE gather driven by a small int32 row
     map — the host never packs or re-uploads the (n, d) payload. Measured at
@@ -135,6 +147,10 @@ def build_layout(
     """
     labels = np.asarray(labels, dtype=np.int64)
     n = vectors.shape[0]
+    if point_ids is None:
+        point_ids = np.arange(len(labels), dtype=np.int64)
+    else:
+        point_ids = np.asarray(point_ids, dtype=np.int64)
     if cluster_order is None:
         cluster_order = np.arange(num_clusters, dtype=np.int64)
     cluster_rank = np.empty(num_clusters, dtype=np.int64)
@@ -142,7 +158,8 @@ def build_layout(
 
     # Stable sort by (placement rank of cluster) keeps intra-cluster insertion
     # order, matching the reference's list build order (ivf_index.rs:94-101).
-    perm_real = np.argsort(cluster_rank[labels], kind="stable")
+    entry_perm = np.argsort(cluster_rank[labels], kind="stable")
+    perm_real = point_ids[entry_perm]  # layout placement order -> internal id
 
     counts = np.bincount(labels, minlength=num_clusters)
     lengths = counts.astype(np.int32)
@@ -156,12 +173,12 @@ def build_layout(
 
     if isinstance(vectors, jax.Array) and device_put:
         return _finalize_device(
-            vectors, perm_real, starts, lengths, num_clusters
+            vectors, perm_real, starts, lengths, num_clusters, n_real=n
         )
     vectors = np.ascontiguousarray(vectors, dtype=np.float32)
     return _finalize(
         vectors[perm_real], perm_real, starts, lengths, num_clusters,
-        device_put,
+        device_put, n_real=n,
     )
 
 
@@ -171,10 +188,14 @@ def _finalize_device(
     starts: np.ndarray,
     lengths: np.ndarray,
     num_clusters: int,
+    n_real: int | None = None,
 ) -> PostingLayout:
     """Device-side packing: layout row r takes vectors_dev[rowmap[r]]
-    (rowmap -1 on gap/tail rows -> zero vector + SENTINEL norm)."""
+    (rowmap -1 on gap/tail rows -> zero vector + SENTINEL norm). perm_real
+    entries are source rows (= internal ids); spilled builds repeat them."""
     n, d = vectors_dev.shape
+    if n_real is not None:
+        n = min(n, n_real)
     if num_clusters and n:
         rows_used = int((starts + _round_up_arr(lengths, ALIGN)).max())
         max_len = int(lengths.max())

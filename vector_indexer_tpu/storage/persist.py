@@ -66,7 +66,9 @@ def save_index(index, index_dir, shards_dir=None) -> None:
         0,
     )
     crc = zlib.crc32(body[:32])
-    header = body[:32] + struct.pack("<II", crc, 0)
+    # Trailing u32 carries the spill (multi-assignment) count; 0 for
+    # reference-parity single-assignment indexes (backward compatible).
+    header = body[:32] + struct.pack("<II", crc, getattr(index, "spill", 0))
 
     with open(index_path(index_dir), "wb") as f:
         f.write(header)
@@ -132,7 +134,7 @@ def load_index(index_dir, shards_dir=None):
         buf = f.read()
     if len(buf) < 40:
         raise ShardFormatError(f"{p}: truncated index header")
-    magic, version, dim, kc, num_shards, metric_id, n_total, crc, _ = (
+    magic, version, dim, kc, num_shards, metric_id, n_total, crc, spill = (
         _IDX_HEADER.unpack_from(buf, 0)
     )
     if magic != INDEX_MAGIC:
@@ -152,6 +154,7 @@ def load_index(index_dir, shards_dir=None):
     idx.centroids_to_shard = c2s.copy()
     idx.num_shards = num_shards
     idx.metric = {0: "l2", 1: "ip", 2: "cosine"}.get(metric_id, "l2")
+    idx.spill = int(spill)
 
     if shards_dir is not None:
         _stage_shards(idx, shards_dir, n_total)
@@ -208,7 +211,10 @@ def _stage_shards(idx, shards_dir, n_total: int) -> None:
         allvecs = np.zeros((0, dim), np.float32)
         perm_real = np.zeros(0, np.int64)
 
-    idx.layout = _finalize(allvecs, perm_real, starts, lengths, kc)
+    idx.layout = _finalize(
+        allvecs, perm_real, starts, lengths, kc,
+        n_real=n_total if n_total else None,
+    )
 
     # Record columns indexed by internal id; internal ids are dense 0..n_total.
     size = max(n_total, int(perm_real.max()) + 1 if len(perm_real) else 0)
