@@ -32,6 +32,66 @@ class EvalResult:
     ms_per_query: float
     qps: float
     nrun: int
+    # Work accounting (faiss `ndis` parity, bench_all_ivf.py:326-361):
+    # mean IVF candidates ranked per query, bytes the path sweeps per
+    # query, and which concrete method an 'auto' point resolved to.
+    cand_per_q: float = 0.0
+    mb_per_q: float = 0.0
+    method: str = ""
+
+
+def work_accounting(core, xq: np.ndarray, n_probe: int, method: str) -> dict:
+    """faiss-`ndis`-style work counters: how much work a sweep point does.
+
+    Returns ``method`` ('auto' resolved to the concrete path),
+    ``cand_per_q`` (mean sum of probed posting-list lengths — the IVF
+    candidates actually ranked) and ``mb_per_q`` (bytes the path reads per
+    query, amortized over its query tile). The distinction matters: the
+    selective paths (gather/stream) read ~candidate bytes, while the
+    masked-sweep paths (dense/flat) read the WHOLE table regardless of
+    nprobe — without these columns a flat win can masquerade as IVF
+    (the round-2 headline failure mode)."""
+    from vector_indexer_tpu.index.ivf import pick_q_tile
+
+    lay = core.layout
+    d = core.dimension
+    nq = len(xq)
+    n_probe = min(n_probe, core.num_clusters)
+    if method == "auto":
+        method = core.choose_method(nq, n_probe)
+
+    lengths = np.asarray(lay.lengths)
+    if method.startswith("flat"):
+        cand = float(lengths.sum())
+    else:
+        # Host coarse scan (cheap: nq x nlist) -> mean probed candidates.
+        cents = np.asarray(core.centroids, np.float32)
+        dc = (
+            (xq**2).sum(1)[:, None]
+            - 2.0 * (xq @ cents.T)
+            + (cents**2).sum(1)[None, :]
+        )
+        probe = np.argpartition(dc, n_probe - 1, axis=1)[:, :n_probe]
+        cand = float(lengths[probe].sum(1).mean())
+
+    table_rows = lay.vectors.shape[0]
+    if method.startswith(("flat", "dense")):
+        q_tile = pick_q_tile(nq, table_rows * 4 // d, d)
+        bytes_q = table_rows * d * 4 / q_tile  # full-table sweep per tile
+    elif method.startswith("stream"):
+        from vector_indexer_tpu.ops.pallas.block_stream import (
+            CHUNK,
+            per_query_slots,
+        )
+
+        itemsize = np.dtype(core.stream_dtype).itemsize
+        t_fixed = per_query_slots(lengths, n_probe)
+        # Probed blocks only (per-query kernel model; the shared block-major
+        # variant fetches each block once per tile, so this upper-bounds it).
+        bytes_q = t_fixed * CHUNK * d * itemsize
+    else:  # gather paths: per-query candidate row gather
+        bytes_q = core._budget_for(n_probe) * d * 4
+    return dict(method=method, cand_per_q=cand, mb_per_q=bytes_q / 2**20)
 
 
 def recall_at(I: np.ndarray, gt: np.ndarray, rank: int) -> float:
@@ -108,14 +168,21 @@ def run_sweep(
         r = eval_setting(
             search_host, search_device, gt, len(xq), k, nprobe, min_time
         )
+        acct = work_accounting(core, xq, nprobe, method)
+        r.cand_per_q, r.mb_per_q = acct["cand_per_q"], acct["mb_per_q"]
+        r.method = acct["method"]
         results.append(r)
         log.info(
-            "nprobe=%-4d %s  %.4f ms/q  %,.0f qps (%d runs)".replace(",", ""),
+            "nprobe=%-4d %s  %.4f ms/q  %,.0f qps (%d runs)  "
+            "[%s cand/q=%.0f swept=%.2fMB/q]".replace(",", ""),
             nprobe,
             " ".join(f"{m}={v:.4f}" for m, v in r.recalls.items()),
             r.ms_per_query,
             r.qps,
             r.nrun,
+            r.method,
+            r.cand_per_q,
+            r.mb_per_q,
         )
     return results
 
@@ -135,13 +202,17 @@ def save_results(
     with open(os.path.join(out_dir, "results.json"), "w") as f:
         json.dump(payload, f, indent=2)
     with open(os.path.join(out_dir, "results.md"), "w") as f:
-        f.write("| nprobe | R@1 | R@10 | R@100 | ms/query | QPS | runs |\n")
-        f.write("|---|---|---|---|---|---|---|\n")
+        f.write(
+            "| nprobe | R@1 | R@10 | R@100 | ms/query | QPS | runs "
+            "| method | cand/q | MB/q |\n"
+        )
+        f.write("|---|---|---|---|---|---|---|---|---|---|\n")
         for r in results:
             f.write(
                 f"| {r.nprobe} | {r.recalls.get('r@1', float('nan')):.4f} | "
                 f"{r.recalls.get('r@10', float('nan')):.4f} | "
                 f"{r.recalls.get('r@100', float('nan')):.4f} | "
-                f"{r.ms_per_query:.4f} | {r.qps:,.0f} | {r.nrun} |\n"
+                f"{r.ms_per_query:.4f} | {r.qps:,.0f} | {r.nrun} "
+                f"| {r.method} | {r.cand_per_q:,.0f} | {r.mb_per_q:.2f} |\n"
             )
     log.info("results written to %s", out_dir)

@@ -223,25 +223,19 @@ def _ivf_search_dense_program(
         mask_b = jnp.cumsum(wall, axis=1) > 0.5
         mask = jnp.repeat(mask_b, ALIGN, axis=1)  # exact: runs are aligned
 
-        prec = jax.lax.Precision.DEFAULT if approx else None
-        dist = _score(qt, vectors, row_norms, q_sq, metric, precision=prec)
+        dist = _score(qt, vectors, row_norms, q_sq, metric)
         dist = jnp.where(mask, dist, jnp.inf)
         if approx:
             # Hardware PartialReduce selection: ~12x faster than exact top_k
             # at (256, 100k) -> 100 (measured 31ms -> 2.6ms per 1024-query
-            # batch), over the single-pass bf16-input sweep. A slightly
-            # widened shortlist is then re-ranked in exact f32: the sweep's
-            # bf16 cross-term error scales with |q||x| (not residual spread)
-            # and would otherwise leak into returned distances and boundary
-            # rankings. The widening absorbs most selection-boundary noise;
-            # re-ranking ~k+32 rows costs a tiny gather (a 2k-wide variant
-            # measured 3x slower end-to-end — the survivor gather dominates
-            # at that width).
-            kk = min(k + max(16, k // 4), dist.shape[1])
-            dvals, rows = jax.lax.approx_min_k(dist, kk, recall_target=0.99)
-            dvals, rows = _exact_rerank(
-                qt, q_sq, rows, vectors, row_norms, k, metric
-            )
+            # batch). The sweep matmul stays HIGHEST precision: it is
+            # HBM-bound, so exact f32 passes cost only ~10% over single-pass
+            # bf16 (measured 189k vs 211k qps at n=100k d=128) and returned
+            # distances are exact — while a bf16 sweep + exact re-rank of a
+            # widened shortlist measured 4x SLOWER (54k qps: the survivor
+            # row gather dominates). Selection recall >= recall_target shows
+            # up honestly in measured R@k.
+            dvals, rows = jax.lax.approx_min_k(dist, k, recall_target=0.99)
         else:
             dvals, rows = topk_smallest(dist, k)
         # Sentinel (gap/tail) rows never count as results.
@@ -317,8 +311,10 @@ def _ivf_search_stream_program(
         # proportional to CLUSTER SPREAD (|q-c|*0.4%*|r|), so corpora whose
         # k-means leaves high-spread (whale) clusters can distort individual
         # distances by whole units — a 2k shortlist at k=5 then drops real
-        # neighbors. stream_exact remains the exactness escape hatch.
-        kk = min(max(2 * k, 64), t_fixed * 256) if rerank else k
+        # neighbors. int8 tables quantize at ~s_c/2 per component and widen
+        # further. stream_exact remains the exactness escape hatch.
+        wide = 4 if stream_table.dtype == jnp.int8 else 2
+        kk = min(max(wide * k, 64 * (wide // 2)), t_fixed * 256) if rerank else k
         if shared:
             dvals, rows = block_stream_search_shared(
                 qt, stream_table, probe, kk,
@@ -335,22 +331,9 @@ def _ivf_search_stream_program(
             # Exact f32 re-rank of the shortlist (selection ran on the
             # stream table's dtype; distances recomputed from the main f32
             # table — a (q_tile*2k)-row gather, tiny next to the sweep).
-            cand = main_vectors[jnp.maximum(rows, 0)]  # (q_tile, kk, d)
-            cross = jnp.einsum(
-                "qd,qkd->qk", qt, cand, precision=jax.lax.Precision.HIGHEST
+            dvals, rows = _exact_rerank(
+                qt, q_sq, rows, main_vectors, main_row_norms, k, metric
             )
-            if metric == "l2":
-                exact = jnp.maximum(
-                    q_sq[:, None] - 2.0 * cross
-                    + main_row_norms[jnp.maximum(rows, 0)],
-                    0.0,
-                )
-            else:
-                exact = -cross
-            exact = jnp.where(rows >= 0, exact, jnp.inf)
-            dvals, order = topk_smallest(exact, k)
-            rows = jnp.take_along_axis(rows, jnp.maximum(order, 0), axis=1)
-            rows = jnp.where((order >= 0) & jnp.isfinite(dvals), rows, -1)
         return dvals, rows
 
     tiles = queries.reshape(nq_pad // q_tile, q_tile, d)
@@ -400,17 +383,11 @@ def _flat_search_program(
         q_sq = sq_norms(qt)
         # The fast variant pairs single-pass bf16-input matmul with the
         # hardware approximate selection; 'flat_exact' stays full f32.
-        prec = jax.lax.Precision.DEFAULT if approx else None
-        dist = _score(qt, vectors, row_norms, q_sq, metric, precision=prec)
+        dist = _score(qt, vectors, row_norms, q_sq, metric)
         if approx:
-            # Widened approx selection + exact f32 re-rank (see the dense
-            # path): returned distances are exact; selection noise from the
-            # bf16 sweep is absorbed by the widening.
-            kk = min(k + max(16, k // 4), dist.shape[1])
-            dvals, rows = jax.lax.approx_min_k(dist, kk, recall_target=0.99)
-            dvals, rows = _exact_rerank(
-                qt, q_sq, rows, vectors, row_norms, k, metric
-            )
+            # HIGHEST-precision sweep + hardware approx selection (see the
+            # dense path for the measured A/B): exact distances, ~10% cost.
+            dvals, rows = jax.lax.approx_min_k(dist, k, recall_target=0.99)
         else:
             dvals, rows = topk_smallest(dist, k)
         # Sentinel (gap/tail) rows never count as results.
@@ -439,6 +416,9 @@ class IvfIndex:
         # Secondary assignments per vector (0 = reference-parity single
         # assignment; 1 = SOAR spill, search de-duplicates ids).
         self.spill = 0
+        # Larger-than-HBM mode (offload_main_table): f32 table freed, int8
+        # stream sweep + host re-rank.
+        self.offloaded = False
         # Host-side record columns, in *internal id* order.
         self.external_ids = np.zeros(0, np.uint64)
         self.timestamps = np.zeros(0, np.uint64)
@@ -631,6 +611,92 @@ class IvfIndex:
                 )
         return self._stream_tables[dtype]
 
+    def offload_main_table(self, stream_dtype=None) -> None:
+        """Larger-than-HBM serving mode: free the f32 main table (+ norms)
+        from device HBM and keep only a compact stream table (int8 by
+        default — 4x less HBM than f32, 16x counting the freed main table's
+        replacement) for the probed-blocks device sweep. The exact re-rank
+        of the widened shortlist moves to the HOST, reading the index's
+        host mirror.
+
+        This is the TPU analogue of the reference's core bigger-than-RAM
+        design point (/root/reference/src/shards.rs:188-349: disk-resident
+        posting lists, selective per-query reads) with HBM:host-RAM taking
+        the disk:RAM role — a corpus whose f32 table exceeds HBM degrades
+        to int8-sweep + host-rerank instead of failing to stage.
+
+        After offload only the 'stream' method is available; 'auto' resolves
+        to it. Irreversible on this index object (reload to undo)."""
+        if self.layout is None:
+            raise RuntimeError("index is empty: fit or load it first")
+        if getattr(self, "_host_data", None) is None:
+            raise RuntimeError(
+                "offload requires the host mirror (fit/load create it)"
+            )
+        self.stream_dtype = jnp.dtype(
+            stream_dtype if stream_dtype is not None else jnp.int8
+        )
+        # Build the compact table BEFORE dropping its f32 source.
+        st = self._stream_table(self.stream_dtype)
+        lay = self.layout
+        self._n_pad = lay.vectors.shape[0]
+        # Remap stream rows to themselves as 'main rows' is not needed: the
+        # to_main map stays valid (rows identify results); only the payload
+        # arrays are freed.
+        lay.vectors.delete()
+        lay.row_norms.delete()
+        lay.vectors = None
+        lay.row_norms = None
+        self._runs = None  # dense-path cache holds no table rows, but reset
+        self.offloaded = True
+        log.info(
+            "offloaded main table: stream table dtype=%s, %d MB resident",
+            self.stream_dtype,
+            st.vecs.size * st.vecs.dtype.itemsize >> 20,
+        )
+
+    def choose_method(self, nq: int, n_probe: int) -> str:
+        """Resolve 'auto' to a concrete method for this (nq, n_probe).
+
+        Modeled bytes per q_tile batch: the dense matmul sweeps the whole
+        table once per tile; the block-stream kernel touches only probed
+        CHUNK blocks (bf16) with ~50% fixed-overhead markup. Measured
+        crossover on v5e: dense wins to ~150k rows, stream beyond (2.8x
+        flat at n=1M, nprobe<=8, recall 1.0). Within stream, the
+        block-major shared kernel pays when many queries of a tile probe
+        the same blocks: measured win at sharing ratio (pairs per task)
+        >= ~3.5 (e.g. n=100k, nq=1024, nprobe<=8 -> 1.6x); below that its
+        dynamic row writes cost more per task than per-query streaming.
+        Exposed publicly so the bench harness can report which concrete
+        path an 'auto' sweep point ran."""
+        if getattr(self, "offloaded", False):
+            return "stream"
+        from ..ops.pallas.block_stream import (
+            CHUNK,
+            per_query_slots,
+            shared_task_cap,
+        )
+
+        lay = self.layout
+        d = self.dimension
+        n_probe = min(n_probe, self.num_clusters)
+        t_fixed = per_query_slots(np.asarray(lay.lengths), n_probe)
+        q_tile_d = pick_q_tile(nq, lay.vectors.shape[0] * 4 // d, d)
+        dense_cost = -(-nq // q_tile_d) * lay.vectors.shape[0] * d * 4
+        stream_cost = int(nq * t_fixed * CHUNK * d * 2 * 1.5)
+        method = "dense" if dense_cost <= stream_cost else "stream"
+        if method == "stream":
+            q_tile_s = max(
+                8, min(1024, ((8 << 20) // (t_fixed * CHUNK * 4)) // 8 * 8)
+            )
+            q_tile_s = min(q_tile_s, _round_up(nq, 8))
+            t_cap_s = shared_task_cap(
+                np.asarray(lay.lengths), n_probe, q_tile_s, t_fixed
+            )
+            if q_tile_s * t_fixed >= 3.5 * t_cap_s:
+                method = "stream_shared"
+        return method
+
     def _budget_for(self, n_probe: int) -> int:
         """Static packed-gather budget for n_probe (cached; exact, never
         truncates: sum of the n_probe longest posting lists)."""
@@ -664,6 +730,8 @@ class IvfIndex:
         hardware approximate selection (recall_target 0.99), 'stream' ranks
         in reduced precision before the exact re-rank.
         """
+        if getattr(self, "offloaded", False):
+            return self._search_offloaded(queries, k, n_probe)
         dvals, irows = self.search_batch_device(queries, k, n_probe, method)
         nq = queries.shape[0] if queries.ndim == 2 else 1
         dvals = np.asarray(dvals)[:nq]
@@ -675,12 +743,68 @@ class IvfIndex:
         internal = np.where(irows >= 0, lay.perm[np.clip(irows, 0, bound)], -1)
         return dvals, internal.astype(np.int64)
 
+    def _search_offloaded(self, queries, k: int, n_probe: int):
+        """Offloaded-mode host path: widened device shortlist on the compact
+        stream table, exact re-rank + dedup from the host mirror."""
+        queries = np.ascontiguousarray(queries, np.float32)
+        if queries.ndim == 1:
+            queries = queries[None, :]
+        nq = queries.shape[0]
+        spill = getattr(self, "spill", 0)
+        wide = 4 if jnp.dtype(self.stream_dtype) == jnp.int8 else 2
+        kk = (1 + spill) * min(max(wide * k, 64 * (wide // 2)), 4096)
+        _, rows = self.search_batch_device(
+            queries, kk, n_probe, "stream", _raw=True
+        )
+        rows = np.asarray(rows)[:nq]
+        lay = self.layout
+        bound = max(lay.rows_used - 1, 0)
+        internal = np.where(rows >= 0, lay.perm[np.clip(rows, 0, bound)], -1)
+
+        q = queries
+        if self.metric == "cosine":
+            q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        cand = self._host_data[np.maximum(internal, 0)]  # (nq, kk, d)
+        cross = np.einsum("nd,nkd->nk", q, cand.astype(np.float32))
+        if self.metric == "l2":
+            exact = np.maximum(
+                (q**2).sum(1)[:, None]
+                - 2.0 * cross
+                + (cand.astype(np.float32) ** 2).sum(-1),
+                0.0,
+            )
+        else:
+            exact = -cross
+        exact = np.where(internal >= 0, exact, np.inf)
+        # Per-row: sort by exact distance, drop duplicate ids, take k.
+        D = np.full((nq, k), np.inf, np.float32)
+        I = np.full((nq, k), -1, np.int64)
+        order = np.argsort(exact, axis=1, kind="stable")
+        for qi in range(nq):
+            seen = set()
+            w = 0
+            for j in order[qi]:
+                v = internal[qi, j]
+                if v < 0 or not np.isfinite(exact[qi, j]) or v in seen:
+                    continue
+                seen.add(v)
+                D[qi, w] = exact[qi, j]
+                I[qi, w] = v
+                w += 1
+                if w == k:
+                    break
+        return D, I
+
     def _perm_dev_table(self):
         """Device int32 map layout row -> internal id (-1 on gap/tail rows),
         for on-device dedup of spilled results. Cached per layout object."""
         lay = self.layout
         if getattr(self, "_perm_dev", None) is None or self._perm_dev_lay is not lay:
-            n_pad = lay.vectors.shape[0]
+            n_pad = (
+                lay.vectors.shape[0]
+                if lay.vectors is not None
+                else self._n_pad
+            )
             pd = np.full(n_pad, -1, np.int64)
             pd[: lay.rows_used] = lay.perm
             self._perm_dev = jnp.asarray(pd, jnp.int32)
@@ -707,6 +831,15 @@ class IvfIndex:
             raise ValueError("k must be > 0")
         if n_probe <= 0:
             raise ValueError("n_probe must be > 0")
+        if getattr(self, "offloaded", False):
+            if method == "auto":
+                method = "stream"
+            if method != "stream":
+                raise RuntimeError(
+                    "offloaded index serves method='stream' only (the f32 "
+                    "main table was freed; dense/flat/gather/exact paths "
+                    "need it — reload the index to restore them)"
+                )
         if getattr(self, "spill", 0) and not _raw:
             kk = (1 + self.spill) * k
             dv, rows = self.search_batch_device(
@@ -751,37 +884,7 @@ class IvfIndex:
         n_probe = min(n_probe, self.num_clusters)
         lay = self.layout
         if method == "auto":
-            # Modeled bytes per q_tile batch: the dense matmul sweeps the
-            # whole table once per tile; the block-stream kernel touches only
-            # probed CHUNK blocks (bf16) with ~50% fixed-overhead markup.
-            # Measured crossover on v5e: dense wins to ~150k rows, stream
-            # beyond (2.8x flat at n=1M, nprobe<=8, recall 1.0).
-            from ..ops.pallas.block_stream import (
-                CHUNK,
-                per_query_slots,
-                shared_task_cap,
-            )
-
-            t_fixed = per_query_slots(np.asarray(lay.lengths), n_probe)
-            q_tile_d = pick_q_tile(nq, lay.vectors.shape[0] * 4 // d, d)
-            dense_cost = -(-nq // q_tile_d) * lay.vectors.shape[0] * d * 4
-            stream_cost = int(nq * t_fixed * CHUNK * d * 2 * 1.5)
-            method = "dense" if dense_cost <= stream_cost else "stream"
-            if method == "stream":
-                # Block-major sharing pays when many queries of a tile probe
-                # the same blocks: measured on v5e it wins at sharing ratio
-                # (pairs per task) >= ~3.5 (e.g. n=100k, nq=1024, nprobe<=8
-                # -> 1.6x) and loses below (its dynamic row writes cost more
-                # per task than the per-query kernel's streaming).
-                q_tile_s = max(
-                    8, min(1024, ((8 << 20) // (t_fixed * CHUNK * 4)) // 8 * 8)
-                )
-                q_tile_s = min(q_tile_s, _round_up(nq, 8))
-                t_cap_s = shared_task_cap(
-                    np.asarray(lay.lengths), n_probe, q_tile_s, t_fixed
-                )
-                if q_tile_s * t_fixed >= 3.5 * t_cap_s:
-                    method = "stream_shared"
+            method = self.choose_method(nq, n_probe)
 
         centroids, c_sq = self._device_tables()
         if method in ("flat", "flat_exact"):
@@ -827,6 +930,12 @@ class IvfIndex:
 
             exact = method.endswith("_exact")
             shared = method.startswith("stream_shared")
+            if shared and not exact and jnp.dtype(self.stream_dtype) == jnp.int8:
+                # The block-major shared kernel has no int8 dequant epilogue
+                # (its task routing carries no per-task scale); the per-query
+                # kernel covers the int8 serving mode.
+                shared = False
+                method = "stream"
             st = self._stream_table(
                 jnp.float32 if exact else self.stream_dtype
             )
@@ -854,19 +963,24 @@ class IvfIndex:
                     np.asarray(lay.lengths), n_probe, q_tile, t_fixed,
                     worst_case=exact,
                 )
+            offloaded = getattr(self, "offloaded", False)
             return _ivf_search_stream_program(
                 pad_to(q_tile),
                 centroids,
                 c_sq,
                 st,
-                lay.vectors,
-                lay.row_norms,
+                # Offloaded: the f32 main table is gone; selection runs on
+                # the compact table and the exact re-rank happens host-side
+                # (search_batch). The placeholders are dead args under
+                # rerank=False.
+                st.norms if offloaded else lay.vectors,
+                st.norms if offloaded else lay.row_norms,
                 k=k,
                 n_probe=n_probe,
                 t_fixed=t_fixed,
                 q_tile=q_tile,
                 approx=not exact,
-                rerank=(st.dtype != jnp.float32),
+                rerank=(st.dtype != jnp.float32) and not offloaded,
                 metric=metric,
                 shared=shared,
                 t_cap=t_cap,

@@ -68,6 +68,7 @@ def _round_up(x: int, m: int) -> int:
     jax.tree_util.register_dataclass,
     data_fields=(
         "vecs", "norms", "to_main", "sblk0", "lengths", "cent", "blk_cid",
+        "scales",
     ),
     meta_fields=("m_pad", "dtype"),
 )
@@ -75,13 +76,14 @@ def _round_up(x: int, m: int) -> int:
 class StreamTable:
     """CHUNK-aligned re-pack of a PostingLayout for the block-stream kernel."""
 
-    vecs: jax.Array  # (m_pad, d) f32/bf16 RESIDUAL rows (x - centroid[c])
+    vecs: jax.Array  # (m_pad, d) f32/bf16/int8 RESIDUAL rows (x - centroid[c])
     norms: jax.Array  # (m_pad,) f32 |residual|^2; SENTINEL (1e30) on pad rows
     to_main: jax.Array  # (m_pad,) int32 stream row -> main layout row
     sblk0: jax.Array  # (kc,) int32 per-cluster start block
     lengths: jax.Array  # (kc,) int32 posting lengths (same as layout)
     cent: jax.Array  # (kc, d) f32 cluster centroids (residual bases)
     blk_cid: jax.Array  # (m_pad/CHUNK,) int32 owning cluster per block
+    scales: jax.Array  # (kc,) f32 per-cluster int8 dequant scale (1.0 else)
     m_pad: int
     dtype: jnp.dtype
 
@@ -95,7 +97,12 @@ def build_stream_table(layout, centroids, dtype=jnp.bfloat16) -> StreamTable:
     rows (device-side row gather; one-time ~O(table) cost). Residual
     encoding makes low-precision tables accurate: the error of the stored
     row scales with its distance to its centroid, not its absolute
-    magnitude."""
+    magnitude.
+
+    dtype=int8 stores symmetric per-CLUSTER-scaled residuals
+    (s_c = max|r|/127 over the cluster): 4x less sweep HBM than f32 — the
+    larger-than-HBM serving dtype — with the norms kept as exact f32 norms
+    OF THE QUANTIZED rows so in-kernel distances are consistent."""
     starts = np.asarray(layout.offsets)[:-1].astype(np.int64)
     lengths = np.asarray(layout.lengths).astype(np.int64)
     kc = len(lengths)
@@ -132,27 +139,52 @@ def build_stream_table(layout, centroids, dtype=jnp.bfloat16) -> StreamTable:
 
     idx = jnp.asarray(to_main, jnp.int32)
     cent = jnp.asarray(centroids, jnp.float32)
+    row_cid_dev = jnp.asarray(row_cid, jnp.int32)
     gathered = jnp.asarray(layout.vectors)[idx]  # (m_pad, d) f32
     real_np = to_main != main_pad_row
     real = jnp.asarray(real_np[:, None], jnp.float32)
-    residual = (gathered - cent[jnp.asarray(row_cid, jnp.int32)]) * real
-    # Pad rows carry SENTINEL norms so any distance computed against them is
-    # >= 1e29 and can never displace a real candidate — the same invariant
-    # the main layout uses; the shared kernel relies on it instead of a
-    # per-lane mask.
-    norms = jnp.where(
-        jnp.asarray(real_np), jnp.sum(residual * residual, axis=1), 1e30
-    )
+    residual = (gathered - cent[row_cid_dev]) * real
+
+    dtype = jnp.dtype(dtype)
+    if dtype == jnp.int8:
+        # Symmetric per-cluster quantization: scatter-max of |r| over the
+        # owning cluster, then round(r / s) clipped to [-127, 127]. One-time
+        # build cost; norms are the f32 norms of the DEQUANTIZED rows so
+        # in-kernel |q-c|^2 - 2 s (q-c).q8 + |s q8|^2 is self-consistent.
+        maxabs_row = jnp.max(jnp.abs(residual), axis=1)
+        scale_c = jnp.zeros(kc, jnp.float32).at[row_cid_dev].max(
+            jnp.where(jnp.asarray(real_np), maxabs_row, 0.0)
+        )
+        scales = jnp.maximum(scale_c / 127.0, 1e-12)
+        q8 = jnp.clip(
+            jnp.round(residual / scales[row_cid_dev][:, None]), -127, 127
+        )
+        vecs = q8.astype(jnp.int8)
+        deq = q8 * scales[row_cid_dev][:, None]
+        norms = jnp.where(
+            jnp.asarray(real_np), jnp.sum(deq * deq, axis=1), 1e30
+        )
+    else:
+        scales = jnp.ones(kc, jnp.float32)
+        vecs = residual.astype(dtype)
+        # Pad rows carry SENTINEL norms so any distance computed against
+        # them is >= 1e29 and can never displace a real candidate — the
+        # same invariant the main layout uses; the shared kernel relies on
+        # it instead of a per-lane mask.
+        norms = jnp.where(
+            jnp.asarray(real_np), jnp.sum(residual * residual, axis=1), 1e30
+        )
     return StreamTable(
-        vecs=residual.astype(dtype),
+        vecs=vecs,
         norms=norms,
         to_main=idx,
         sblk0=jnp.asarray((bases // CHUNK).astype(np.int32)),
         lengths=jnp.asarray(lengths.astype(np.int32)),
         cent=cent,
         blk_cid=jnp.asarray(row_cid[::CHUNK].astype(np.int32)),
+        scales=scales,
         m_pad=m_pad,
-        dtype=jnp.dtype(dtype),
+        dtype=dtype,
     )
 
 
@@ -203,17 +235,28 @@ def _dot_precision(dtype):
 
 def _kernel_factory(d: int, metric: str):
     def kernel(*refs):
-        # refs: blk,cid (SMEM prefetch), FAN q blocks, FAN x blocks,
+        # refs: blk,cid,scl (SMEM prefetch), FAN q blocks, FAN x blocks,
         # FAN centroid blocks, FAN norm blocks, FAN out blocks.
-        q_refs = refs[2 : 2 + FAN]
-        x_refs = refs[2 + FAN : 2 + 2 * FAN]
-        c_refs = refs[2 + 2 * FAN : 2 + 3 * FAN]
-        n_refs = refs[2 + 3 * FAN : 2 + 4 * FAN]
-        out_refs = refs[2 + 4 * FAN :]
+        scl_ref = refs[2]
+        q_refs = refs[3 : 3 + FAN]
+        x_refs = refs[3 + FAN : 3 + 2 * FAN]
+        c_refs = refs[3 + 2 * FAN : 3 + 3 * FAN]
+        n_refs = refs[3 + 3 * FAN : 3 + 4 * FAN]
+        out_refs = refs[3 + 4 * FAN :]
+        t = pl.program_id(0)
         for f in range(FAN):
             q = q_refs[f][0].astype(jnp.float32)  # (1, d)
             c = c_refs[f][0].astype(jnp.float32)  # (1, d) this block's centroid
             x = x_refs[f][:]  # (CHUNK, d) residual rows, table dtype
+            int8_mode = x.dtype == jnp.int8
+            if int8_mode:
+                # int8 rows hold r/s_c; compute the cross term on the MXU in
+                # bf16 (the int8 HBM read is the bandwidth win) and dequant
+                # with the scalar-prefetched per-cluster scale. Norms are
+                # stored for the DEQUANTIZED rows, so only the cross term
+                # needs the scale here.
+                x = x.astype(jnp.bfloat16)
+                s = scl_ref[f, t]
             prec = _dot_precision(x.dtype)
             if metric == "l2":
                 # |q-x|^2 = |q-c|^2 - 2 (q-c).res + |res|^2: the large terms
@@ -224,6 +267,8 @@ def _kernel_factory(d: int, metric: str):
                     precision=prec,
                     preferred_element_type=jnp.float32,
                 )  # (1, CHUNK)
+                if int8_mode:
+                    cross = cross * s
                 qc_sq = jnp.sum(qc * qc)
                 dist = qc_sq - 2.0 * cross + n_refs[f][0]
             else:  # ip: -q.x = -q.c - q.res (q.c exact f32)
@@ -232,6 +277,8 @@ def _kernel_factory(d: int, metric: str):
                     precision=prec,
                     preferred_element_type=jnp.float32,
                 )
+                if int8_mode:
+                    cross = cross * s
                 dist = -jnp.sum(q * c) - cross
             out_refs[f][0, 0, 0, :] = dist[0]
 
@@ -248,6 +295,7 @@ def _block_stream_call(
     norms,  # (m_pad,) f32
     blk,  # (FAN, nq*t_sub) int32 block id per task
     cid,  # (FAN, nq*t_sub) int32 cluster id per task
+    scl,  # (FAN, nq*t_sub) f32 per-task dequant scale (int8 tables)
     *,
     t_sub: int,
     metric: str,
@@ -255,20 +303,20 @@ def _block_stream_call(
 ):
     """Grid step t, fan f serve query ``t % nq`` at its local slot
     ``t // nq`` of fan f's slot range — a static mapping, so only block and
-    cluster ids need scalar prefetch."""
+    cluster ids (plus the int8 dequant scale) need scalar prefetch."""
     nq, d = queries.shape
     steps = nq * t_sub
     kernel = _kernel_factory(d, metric)
 
     def q_spec(f):
         return pl.BlockSpec(
-            (1, 1, d), lambda t, blk, cid: (t % nq, 0, 0),
+            (1, 1, d), lambda t, blk, cid, scl: (t % nq, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
     def x_spec(f):
         return pl.BlockSpec(
-            (CHUNK, d), lambda t, blk, cid, f=f: (blk[f, t], 0),
+            (CHUNK, d), lambda t, blk, cid, scl, f=f: (blk[f, t], 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -276,7 +324,7 @@ def _block_stream_call(
         # (kc, 1, d) layout: a (1, 1, d) block satisfies the (8, 128) tiling
         # rule via dims equal to the array's.
         return pl.BlockSpec(
-            (1, 1, d), lambda t, blk, cid, f=f: (cid[f, t], 0, 0),
+            (1, 1, d), lambda t, blk, cid, scl, f=f: (cid[f, t], 0, 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -284,19 +332,19 @@ def _block_stream_call(
         # Norms viewed (m_blocks, 1, CHUNK): a (1, 1, CHUNK) block satisfies
         # tiling, and XLA's T(1024) 1-D layout never enters the kernel.
         return pl.BlockSpec(
-            (1, 1, CHUNK), lambda t, blk, cid, f=f: (blk[f, t], 0, 0),
+            (1, 1, CHUNK), lambda t, blk, cid, scl, f=f: (blk[f, t], 0, 0),
             memory_space=pltpu.VMEM,
         )
 
     def o_spec(f):
         return pl.BlockSpec(
             (1, 1, 1, CHUNK),
-            lambda t, blk, cid: (t % nq, t // nq, 0, 0),
+            lambda t, blk, cid, scl: (t % nq, t // nq, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(steps,),
         in_specs=[q_spec(f) for f in range(FAN)]
         + [x_spec(f) for f in range(FAN)]
@@ -318,7 +366,7 @@ def _block_stream_call(
         ),
         interpret=interpret,
     )(
-        blk, cid,
+        blk, cid, scl,
         *([queries[:, None, :]] * FAN),
         *([vecs] * FAN),
         *([cent[:, None, :]] * FAN),
@@ -386,6 +434,7 @@ def block_stream_search(
         table.norms,
         fan_flat(blk2d),
         fan_flat(cid2d),
+        fan_flat(table.scales[cid2d]),
         t_sub=t_sub,
         metric=metric,
         interpret=interpret,

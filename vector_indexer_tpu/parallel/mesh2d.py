@@ -9,6 +9,11 @@ each other, so the collective rides the inner (fastest) ICI ring.
 
 On an (Q, S) mesh this multiplies single-chip throughput by ~Q while
 dividing per-chip HBM footprint by S — the pod-level serving layout.
+
+Tables are built host-side from the index's host mirror and device_put
+straight onto the 2-D mesh (shard dim -> shard_axis, replicated over
+q_axis): construction performs zero corpus-sized d2h fetches and stages
+each array exactly once.
 """
 
 from __future__ import annotations
@@ -19,7 +24,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .sharded import ShardedSearcher, _round_up
+from .sharded import _dedup_host, _round_up, build_local_tables
 
 
 def make_mesh_2d(
@@ -37,14 +42,7 @@ def make_mesh_2d(
 
 
 class Sharded2DSearcher:
-    """Query x shard parallel search over a 2-D mesh.
-
-    Implementation: the shard dimension reuses ShardedSearcher's per-device
-    tables and program (built on a 1-D view of the shard axis); the query
-    dimension is pure data parallelism — the replicated-query input spec
-    becomes P('queries') so each shard-row of the mesh processes its own
-    query slice.
-    """
+    """Query x shard parallel search over a 2-D mesh."""
 
     def __init__(self, index, mesh: Mesh, q_axis: str = "queries",
                  shard_axis: str = "shards"):
@@ -52,29 +50,19 @@ class Sharded2DSearcher:
         self.q_axis = q_axis
         self.shard_axis = shard_axis
         self.index = index
-        # Build shard-partitioned tables over the shard axis size; the
-        # resulting host arrays are placed on the 2-D mesh with the shard
-        # dimension mapped to shard_axis and replicated over q_axis.
-        n_shard_dev = mesh.shape[shard_axis]
-        inner = ShardedSearcher.__new__(ShardedSearcher)
-        # Reuse the 1-D constructor logic against a temporary 1-D mesh of
-        # the same shard-axis device count, then re-place the arrays.
-        tmp_mesh = Mesh(np.array(jax.devices()[:n_shard_dev]), (shard_axis,))
-        ShardedSearcher.__init__(inner, index, tmp_mesh, axis=shard_axis)
-        self._inner = inner
+        t = build_local_tables(index, mesh.shape[shard_axis])
 
         sh = NamedSharding(mesh, P(shard_axis))  # replicated over q_axis
-        self.local_vecs = jax.device_put(np.asarray(inner.local_vecs), sh)
-        self.local_norms = jax.device_put(np.asarray(inner.local_norms), sh)
-        self.local_cent = jax.device_put(np.asarray(inner.local_cent), sh)
-        self.local_csq = jax.device_put(np.asarray(inner.local_csq), sh)
-        self.local_run_starts_b = jax.device_put(
-            np.asarray(inner.local_run_starts_b), sh
-        )
+        self.local_vecs = jax.device_put(t.local_vecs, sh)
+        self.local_norms = jax.device_put(t.local_norms, sh)
+        self.local_cent = jax.device_put(t.local_cent, sh)
+        self.local_csq = jax.device_put(t.local_csq, sh)
+        self.local_run_starts_b = jax.device_put(t.local_run_starts_b, sh)
         repl = NamedSharding(mesh, P())
-        self.centroids = jax.device_put(np.asarray(inner.centroids), repl)
-        self.c_sq = jax.device_put(np.asarray(inner.c_sq), repl)
-        self.local_perm = inner.local_perm
+        self.centroids = jax.device_put(t.cents, repl)
+        self.c_sq = jax.device_put(t.c_sq, repl)
+        self.local_perm = t.local_perm
+        self.shard_to_dev = t.shard_to_dev
 
     def search_batch(
         self, queries: np.ndarray, k: int, n_probe: int
@@ -93,6 +81,8 @@ class Sharded2DSearcher:
             )
         kc = self.centroids.shape[0]
         n_probe = min(n_probe, kc)
+        spill = getattr(self.index, "spill", 0)
+        kk = (1 + spill) * k
         nq_dev = self.mesh.shape[self.q_axis]
         nq_pad = _round_up(nq, 8 * nq_dev)
         qp = np.zeros((nq_pad, d), np.float32)
@@ -100,6 +90,7 @@ class Sharded2DSearcher:
 
         import jax.numpy as jnp
 
+        from ..ops.gather import quantize_up
         from .sharded import _sharded_search_program_2d
 
         D, rows, devs = _sharded_search_program_2d(
@@ -117,7 +108,8 @@ class Sharded2DSearcher:
             self.local_csq,
             self.local_run_starts_b,
             jnp.int32(n_probe),
-            k=k,
+            k=kk,
+            probe_bound=min(quantize_up(max(n_probe, 1)), kc),
         )
         D = np.asarray(D)[:nq]
         rows = np.asarray(rows)[:nq]
@@ -127,4 +119,6 @@ class Sharded2DSearcher:
             self.local_perm[np.clip(devs, 0, None), np.clip(rows, 0, None)],
             -1,
         )
-        return D, internal
+        if spill:
+            internal, D = _dedup_host(internal, D)
+        return D[:, :k], internal[:, :k]
