@@ -80,15 +80,16 @@ def work_accounting(core, xq: np.ndarray, n_probe: int, method: str) -> dict:
         bytes_q = table_rows * d * 4 / q_tile  # full-table sweep per tile
     elif method.startswith("stream"):
         from vector_indexer_tpu.ops.pallas.block_stream import (
-            CHUNK,
             per_query_slots,
+            pick_chunk,
         )
 
         itemsize = np.dtype(core.stream_dtype).itemsize
-        t_fixed = per_query_slots(lengths, n_probe)
+        chunk = pick_chunk(lengths, d, itemsize)
+        t_fixed = per_query_slots(lengths, n_probe, chunk=chunk)
         # Probed blocks only (per-query kernel model; the shared block-major
         # variant fetches each block once per tile, so this upper-bounds it).
-        bytes_q = t_fixed * CHUNK * d * itemsize
+        bytes_q = t_fixed * chunk * d * itemsize
     else:  # gather paths: per-query candidate row gather
         bytes_q = core._budget_for(n_probe) * d * 4
     return dict(method=method, cand_per_q=cand, mb_per_q=bytes_q / 2**20)

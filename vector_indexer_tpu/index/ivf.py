@@ -314,7 +314,11 @@ def _ivf_search_stream_program(
         # neighbors. int8 tables quantize at ~s_c/2 per component and widen
         # further. stream_exact remains the exactness escape hatch.
         wide = 4 if stream_table.dtype == jnp.int8 else 2
-        kk = min(max(wide * k, 64 * (wide // 2)), t_fixed * 256) if rerank else k
+        kk = (
+            min(max(wide * k, 64 * (wide // 2)), t_fixed * stream_table.chunk)
+            if rerank
+            else k
+        )
         if shared:
             dvals, rows = block_stream_search_shared(
                 qt, stream_table, probe, kk,
@@ -672,26 +676,29 @@ class IvfIndex:
         if getattr(self, "offloaded", False):
             return "stream"
         from ..ops.pallas.block_stream import (
-            CHUNK,
             per_query_slots,
+            pick_chunk,
             shared_task_cap,
         )
 
         lay = self.layout
         d = self.dimension
         n_probe = min(n_probe, self.num_clusters)
-        t_fixed = per_query_slots(np.asarray(lay.lengths), n_probe)
+        itemsize = jnp.dtype(self.stream_dtype).itemsize
+        chunk = pick_chunk(np.asarray(lay.lengths), d, itemsize)
+        t_fixed = per_query_slots(np.asarray(lay.lengths), n_probe, chunk=chunk)
         q_tile_d = pick_q_tile(nq, lay.vectors.shape[0] * 4 // d, d)
         dense_cost = -(-nq // q_tile_d) * lay.vectors.shape[0] * d * 4
-        stream_cost = int(nq * t_fixed * CHUNK * d * 2 * 1.5)
+        stream_cost = int(nq * t_fixed * chunk * d * itemsize * 1.5)
         method = "dense" if dense_cost <= stream_cost else "stream"
         if method == "stream":
             q_tile_s = max(
-                8, min(1024, ((8 << 20) // (t_fixed * CHUNK * 4)) // 8 * 8)
+                8, min(1024, ((8 << 20) // (t_fixed * chunk * 4)) // 8 * 8)
             )
             q_tile_s = min(q_tile_s, _round_up(nq, 8))
             t_cap_s = shared_task_cap(
-                np.asarray(lay.lengths), n_probe, q_tile_s, t_fixed
+                np.asarray(lay.lengths), n_probe, q_tile_s, t_fixed,
+                chunk=chunk,
             )
             if q_tile_s * t_fixed >= 3.5 * t_cap_s:
                 method = "stream_shared"
@@ -922,7 +929,6 @@ class IvfIndex:
             "stream", "stream_exact", "stream_shared", "stream_shared_exact"
         ):
             from ..ops.pallas.block_stream import (
-                CHUNK,
                 SMEM_TASK_CAP,
                 per_query_slots,
                 shared_task_cap,
@@ -939,8 +945,10 @@ class IvfIndex:
             st = self._stream_table(
                 jnp.float32 if exact else self.stream_dtype
             )
+            chunk = st.chunk
             t_fixed = per_query_slots(
-                np.asarray(lay.lengths), n_probe, worst_case=exact
+                np.asarray(lay.lengths), n_probe, worst_case=exact,
+                chunk=chunk,
             )
             # Tile queries so the task arrays fit SMEM. The stream kernel's
             # per-tile fixed costs (pipeline ramp, coarse matmul, select) are
@@ -954,14 +962,14 @@ class IvfIndex:
                 # Sharing grows with the tile (more queries probe the same
                 # block), so the shared path tiles up to 1024 queries; the
                 # binding constraint is the VMEM-resident
-                # (q_tile*t_fixed, CHUNK) distance plane, bounded to ~8 MB.
-                plane_cap = (8 << 20) // (t_fixed * CHUNK * 4)
+                # (q_tile*t_fixed, chunk) distance plane, bounded to ~8 MB.
+                plane_cap = (8 << 20) // (t_fixed * chunk * 4)
                 q_tile = max(8, min(1024, plane_cap // 8 * 8))
             q_tile = min(q_tile, _round_up(nq, 8))
             if shared:
                 t_cap = shared_task_cap(
                     np.asarray(lay.lengths), n_probe, q_tile, t_fixed,
-                    worst_case=exact,
+                    worst_case=exact, chunk=chunk,
                 )
             offloaded = getattr(self, "offloaded", False)
             return _ivf_search_stream_program(

@@ -51,13 +51,37 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CHUNK = 256  # rows per task block (lane-aligned packed output slots)
+CHUNK = 256  # default rows per task block (lane-aligned packed output slots)
 # Block fetches per grid step (amortizes per-step overhead). A/B on v5e at
 # n=1M (same time window): 16 beats 8 by 10-13% at nprobe 4/16, ties at 8.
 FAN = 16
 # SMEM holds 2 int32 scalar-prefetch arrays of nq*t_fixed tasks; stay under
 # half of the v5e's ~1 MB SMEM.
 SMEM_TASK_CAP = 61_440
+# Measured per-task fixed cost on v5e: ~200 ns regardless of block bytes
+# (an all-same-block run — zero new HBM traffic — streams no faster than
+# distinct blocks). The kernel structure tops out ~625 GB/s (76% of the
+# 819 GB/s HBM peak) once blocks reach ~128 KB: 64 KB blocks -> 330 GB/s,
+# 128 KB -> 625, 256 KB -> 627. Hence per-table block sizing below.
+_TARGET_BLOCK_BYTES = 128 << 10
+
+
+def pick_chunk(lengths_np, d: int, itemsize: int) -> int:
+    """Per-table task-block row count: the smallest power-of-two block that
+    reaches ~128 KB (the measured bandwidth knee — see module constants),
+    UNLESS padding waste (lists are padded to whole blocks) would exceed
+    ~35%; then step back down. Always >= 256 (lane-tile floor)."""
+    ln = np.asarray(lengths_np, np.float64)
+    total = max(ln.sum(), 1.0)
+    target = max(256, _TARGET_BLOCK_BYTES // max(d * itemsize, 1))
+    best = 256
+    for c in (512, 1024):
+        if c > target:
+            break
+        waste = (np.ceil(ln / c) * c).sum() / total
+        if waste <= 1.35:
+            best = c
+    return best
 
 
 def _round_up(x: int, m: int) -> int:
@@ -70,7 +94,7 @@ def _round_up(x: int, m: int) -> int:
         "vecs", "norms", "to_main", "sblk0", "lengths", "cent", "blk_cid",
         "scales",
     ),
-    meta_fields=("m_pad", "dtype"),
+    meta_fields=("m_pad", "dtype", "chunk"),
 )
 @dataclasses.dataclass
 class StreamTable:
@@ -86,13 +110,16 @@ class StreamTable:
     scales: jax.Array  # (kc,) f32 per-cluster int8 dequant scale (1.0 else)
     m_pad: int
     dtype: jnp.dtype
+    chunk: int = CHUNK  # rows per task block (per-table, see pick_chunk)
 
     @property
     def bytes_per_row(self) -> int:
         return self.vecs.shape[1] * self.vecs.dtype.itemsize
 
 
-def build_stream_table(layout, centroids, dtype=jnp.bfloat16) -> StreamTable:
+def build_stream_table(
+    layout, centroids, dtype=jnp.bfloat16, chunk: int | None = None
+) -> StreamTable:
     """Re-pack the main layout into CHUNK-aligned cluster blocks of RESIDUAL
     rows (device-side row gather; one-time ~O(table) cost). Residual
     encoding makes low-precision tables accurate: the error of the stored
@@ -107,6 +134,9 @@ def build_stream_table(layout, centroids, dtype=jnp.bfloat16) -> StreamTable:
     lengths = np.asarray(layout.lengths).astype(np.int64)
     kc = len(lengths)
     order = np.argsort(starts, kind="stable")  # layout placement order
+    if chunk is None:
+        chunk = pick_chunk(lengths, layout.dim, jnp.dtype(dtype).itemsize)
+    CHUNK = chunk  # shadow the module default within this build
 
     sizes = _round_up_arr(np.maximum(lengths[order], 0), CHUNK)
     bases_in_order = np.zeros(kc, np.int64)
@@ -185,6 +215,7 @@ def build_stream_table(layout, centroids, dtype=jnp.bfloat16) -> StreamTable:
         scales=scales,
         m_pad=m_pad,
         dtype=dtype,
+        chunk=CHUNK,
     )
 
 
@@ -192,16 +223,18 @@ def _round_up_arr(x, m):
     return ((x + m - 1) // m) * m
 
 
-def expected_tasks_per_query(lengths_np, n_probe: int) -> float:
+def expected_tasks_per_query(lengths_np, n_probe: int, chunk: int = CHUNK) -> float:
     """E[chunk tasks per query] under length-proportional probe likelihood
     (bigger cells are probed more often). Used to size the flat task budget."""
     ln = np.asarray(lengths_np, np.float64)
     n = max(ln.sum(), 1.0)
     p_probed = np.minimum(1.0, n_probe * ln / n)
-    return float((p_probed * np.ceil(ln / CHUNK)).sum())
+    return float((p_probed * np.ceil(ln / chunk)).sum())
 
 
-def per_query_slots(lengths_np, n_probe: int, worst_case: bool = False) -> int:
+def per_query_slots(
+    lengths_np, n_probe: int, worst_case: bool = False, chunk: int = CHUNK
+) -> int:
     """t_fixed: task slots per query (multiple of FAN), quantized up to the
     {2^m, 1.5*2^m} grid so nearby nprobe sweep points share one compiled
     program. Default sizes to ~1.25x the expected task count (+slack); the
@@ -210,12 +243,12 @@ def per_query_slots(lengths_np, n_probe: int, worst_case: bool = False) -> int:
     from ...ops.gather import quantize_up
 
     ln = np.sort(np.asarray(lengths_np))[::-1]
-    worst_q = int(np.ceil(ln[: min(n_probe, len(ln))] / CHUNK).sum())
+    worst_q = int(np.ceil(ln[: min(n_probe, len(ln))] / chunk).sum())
     worst_q = max(worst_q, 1)
     if worst_case:
         t = worst_q
     else:
-        exp_q = expected_tasks_per_query(lengths_np, n_probe)
+        exp_q = expected_tasks_per_query(lengths_np, n_probe, chunk)
         t = min(worst_q, int(1.25 * exp_q) + 2)
     return _round_up(quantize_up(t), FAN)
 
@@ -234,20 +267,30 @@ def _dot_precision(dtype):
 
 
 def _kernel_factory(d: int, metric: str):
+    # (Block row count never appears in the kernel body: all shapes come
+    # from the refs, so one factory serves every chunk size.)
+    #
+    # DMA economics (measured on v5e, 64 KB x-blocks): the x fetch + output
+    # costs ~136 ns/task; the FIRST extra small ref per task hides under it
+    # for free, every further one costs ~40 ns. Hence queries and centroids
+    # never enter as per-task refs: the per-(query, slot) row q - c (or q
+    # for ip) is precomputed into ONE sequential (steps, FAN, d) array
+    # fetched once per grid step for all FAN tasks, and the paired scalar
+    # |q-c|^2 / -q.c rides the SMEM prefetch as `bias`. That leaves one
+    # random small ref (norms) per task — the free one.
     def kernel(*refs):
-        # refs: blk,cid,scl (SMEM prefetch), FAN q blocks, FAN x blocks,
-        # FAN centroid blocks, FAN norm blocks, FAN out blocks.
-        scl_ref = refs[2]
-        q_refs = refs[3 : 3 + FAN]
-        x_refs = refs[3 + FAN : 3 + 2 * FAN]
-        c_refs = refs[3 + 2 * FAN : 3 + 3 * FAN]
-        n_refs = refs[3 + 3 * FAN : 3 + 4 * FAN]
-        out_refs = refs[3 + 4 * FAN :]
+        # refs: blk,scl,bias (SMEM prefetch), qv (1, FAN, d) sequential,
+        # FAN x blocks, FAN norm blocks, FAN out blocks.
+        scl_ref, bias_ref = refs[1], refs[2]
+        qv_ref = refs[3]
+        x_refs = refs[4 : 4 + FAN]
+        n_refs = refs[4 + FAN : 4 + 2 * FAN]
+        out_refs = refs[4 + 2 * FAN :]
         t = pl.program_id(0)
         for f in range(FAN):
-            q = q_refs[f][0].astype(jnp.float32)  # (1, d)
-            c = c_refs[f][0].astype(jnp.float32)  # (1, d) this block's centroid
+            qv = qv_ref[0, f, :][None, :]  # (1, d) f32: q - c (l2) or q (ip)
             x = x_refs[f][:]  # (CHUNK, d) residual rows, table dtype
+            bias = bias_ref[f, t]  # |q-c|^2 (l2) or -q.c (ip), exact f32
             int8_mode = x.dtype == jnp.int8
             if int8_mode:
                 # int8 rows hold r/s_c; compute the cross term on the MXU in
@@ -256,75 +299,63 @@ def _kernel_factory(d: int, metric: str):
                 # stored for the DEQUANTIZED rows, so only the cross term
                 # needs the scale here.
                 x = x.astype(jnp.bfloat16)
-                s = scl_ref[f, t]
             prec = _dot_precision(x.dtype)
+            # |q-x|^2 = |q-c|^2 - 2 (q-c).res + |res|^2 for l2 — the large
+            # terms are exact f32; only the small cross term sees the table
+            # dtype. ip: -q.x = -q.c - q.res.
+            cross = jax.lax.dot_general(
+                qv.astype(x.dtype), x, (((1,), (1,)), ((), ())),
+                precision=prec,
+                preferred_element_type=jnp.float32,
+            )  # (1, CHUNK)
+            if int8_mode:
+                cross = cross * scl_ref[f, t]
             if metric == "l2":
-                # |q-x|^2 = |q-c|^2 - 2 (q-c).res + |res|^2: the large terms
-                # are exact f32; only the small cross term sees table dtype.
-                qc = q - c
-                cross = jax.lax.dot_general(
-                    qc.astype(x.dtype), x, (((1,), (1,)), ((), ())),
-                    precision=prec,
-                    preferred_element_type=jnp.float32,
-                )  # (1, CHUNK)
-                if int8_mode:
-                    cross = cross * s
-                qc_sq = jnp.sum(qc * qc)
-                dist = qc_sq - 2.0 * cross + n_refs[f][0]
-            else:  # ip: -q.x = -q.c - q.res (q.c exact f32)
-                cross = jax.lax.dot_general(
-                    q.astype(x.dtype), x, (((1,), (1,)), ((), ())),
-                    precision=prec,
-                    preferred_element_type=jnp.float32,
-                )
-                if int8_mode:
-                    cross = cross * s
-                dist = -jnp.sum(q * c) - cross
+                dist = bias - 2.0 * cross + n_refs[f][0]
+            else:
+                nrm = n_refs[f][0, 0]  # sentinel pads must stay penalized
+                dist = bias - cross + jnp.where(nrm >= 1e29, nrm, 0.0)[None, :]
             out_refs[f][0, 0, 0, :] = dist[0]
 
     return kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("t_sub", "metric", "interpret")
+    jax.jit, static_argnames=("nq", "t_sub", "metric", "chunk", "interpret")
 )
 def _block_stream_call(
-    queries,  # (nq, d) f32
+    qvec,  # (steps, FAN, d) f32 per-(step, fan) query rows: q - c | q
     vecs,  # (m_pad, d) stream table (residual rows)
-    cent,  # (kc, d) f32 centroids
     norms,  # (m_pad,) f32
     blk,  # (FAN, nq*t_sub) int32 block id per task
-    cid,  # (FAN, nq*t_sub) int32 cluster id per task
     scl,  # (FAN, nq*t_sub) f32 per-task dequant scale (int8 tables)
+    bias,  # (FAN, nq*t_sub) f32 per-task |q-c|^2 (l2) / -q.c (ip)
     *,
+    nq: int,
     t_sub: int,
     metric: str,
+    chunk: int = CHUNK,
     interpret: bool = False,
 ):
     """Grid step t, fan f serve query ``t % nq`` at its local slot
-    ``t // nq`` of fan f's slot range — a static mapping, so only block and
-    cluster ids (plus the int8 dequant scale) need scalar prefetch."""
-    nq, d = queries.shape
+    ``t // nq`` of fan f's slot range — a static mapping, so only block ids
+    (plus the int8 dequant scale and the bias scalar) need scalar prefetch;
+    the per-task query-side rows arrive as ONE sequential ref (see
+    _kernel_factory's DMA-economics note)."""
     steps = nq * t_sub
+    d = qvec.shape[-1]
     kernel = _kernel_factory(d, metric)
+    CHUNK = chunk  # shadow the module default for the specs below
 
-    def q_spec(f):
+    def qv_spec():
         return pl.BlockSpec(
-            (1, 1, d), lambda t, blk, cid, scl: (t % nq, 0, 0),
+            (1, FAN, d), lambda t, blk, scl, bias: (t, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
     def x_spec(f):
         return pl.BlockSpec(
-            (CHUNK, d), lambda t, blk, cid, scl, f=f: (blk[f, t], 0),
-            memory_space=pltpu.VMEM,
-        )
-
-    def c_spec(f):
-        # (kc, 1, d) layout: a (1, 1, d) block satisfies the (8, 128) tiling
-        # rule via dims equal to the array's.
-        return pl.BlockSpec(
-            (1, 1, d), lambda t, blk, cid, scl, f=f: (cid[f, t], 0, 0),
+            (CHUNK, d), lambda t, blk, scl, bias, f=f: (blk[f, t], 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -332,23 +363,22 @@ def _block_stream_call(
         # Norms viewed (m_blocks, 1, CHUNK): a (1, 1, CHUNK) block satisfies
         # tiling, and XLA's T(1024) 1-D layout never enters the kernel.
         return pl.BlockSpec(
-            (1, 1, CHUNK), lambda t, blk, cid, scl, f=f: (blk[f, t], 0, 0),
+            (1, 1, CHUNK), lambda t, blk, scl, bias, f=f: (blk[f, t], 0, 0),
             memory_space=pltpu.VMEM,
         )
 
     def o_spec(f):
         return pl.BlockSpec(
             (1, 1, 1, CHUNK),
-            lambda t, blk, cid, scl: (t % nq, t // nq, 0, 0),
+            lambda t, blk, scl, bias: (t % nq, t // nq, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(steps,),
-        in_specs=[q_spec(f) for f in range(FAN)]
+        in_specs=[qv_spec()]
         + [x_spec(f) for f in range(FAN)]
-        + [c_spec(f) for f in range(FAN)]
         + [n_spec(f) for f in range(FAN)],
         out_specs=[o_spec(f) for f in range(FAN)],
     )
@@ -366,10 +396,9 @@ def _block_stream_call(
         ),
         interpret=interpret,
     )(
-        blk, cid, scl,
-        *([queries[:, None, :]] * FAN),
+        blk, scl, bias,
+        qvec,
         *([vecs] * FAN),
-        *([cent[:, None, :]] * FAN),
         *([norms.reshape(-1, 1, CHUNK)] * FAN),
     )
     return outs
@@ -393,6 +422,7 @@ def block_stream_search(
     nq, d = queries.shape
     p = probe.shape[1]
     t_sub = t_fixed // FAN  # slots per fan (t_fixed % FAN == 0)
+    CHUNK = table.chunk  # per-table block rows (see pick_chunk)
 
     sblk0 = table.sblk0[probe]  # (nq, p) start blocks
     lens = table.lengths[probe]
@@ -417,8 +447,8 @@ def block_stream_search(
         )
 
     # Static packing: fan f owns slots [f*t_sub, (f+1)*t_sub); its step t
-    # serves (query t % nq, local slot t // nq). blk/cid arrays are pure
-    # transposes — no scatter.
+    # serves (query t % nq, local slot t // nq). blk/scale/bias arrays are
+    # pure transposes — no scatter.
     def fan_flat(a2d):
         return jnp.stack(
             [
@@ -427,16 +457,40 @@ def block_stream_search(
             ]
         )
 
+    def fan_steps(a3d):  # (nq, t_fixed, d) -> (steps, FAN, d)
+        return jnp.stack(
+            [
+                a3d[:, f * t_sub : (f + 1) * t_sub]
+                .transpose(1, 0, 2)
+                .reshape(-1, a3d.shape[-1])
+                for f in range(FAN)
+            ],
+            axis=1,
+        )
+
+    # Query-side rows + bias, precomputed per (query, slot) pair so the
+    # kernel needs no per-task query/centroid fetches (the gather source is
+    # the small centroid table; ~8 KB of sequential qvec per grid step).
+    if metric == "l2":
+        qc_all = queries[:, None, :] - table.cent[cid2d]  # (nq, t_fixed, d)
+        bias2d = jnp.sum(qc_all * qc_all, axis=-1)
+    else:
+        qc_all = jnp.broadcast_to(
+            queries[:, None, :], (nq, t_fixed, d)
+        )
+        bias2d = -jnp.sum(queries[:, None, :] * table.cent[cid2d], axis=-1)
+
     outs = _block_stream_call(
-        queries,
+        fan_steps(qc_all),
         table.vecs,
-        table.cent,
         table.norms,
         fan_flat(blk2d),
-        fan_flat(cid2d),
         fan_flat(table.scales[cid2d]),
+        fan_flat(bias2d),
+        nq=nq,
         t_sub=t_sub,
         metric=metric,
+        chunk=CHUNK,
         interpret=interpret,
     )
 
@@ -504,7 +558,7 @@ _TASK_ALIGN = Q_SHARE * FAN_S
 
 def shared_task_cap(
     lengths_np, n_probe: int, nq_tile: int, t_fixed: int,
-    worst_case: bool = False,
+    worst_case: bool = False, chunk: int = CHUNK,
 ) -> int:
     """Static task budget for the shared kernel. The worst case
     sum_b ceil(c_b/Q) <= npairs//Q + min(npairs, nblocks) never drops a
@@ -512,7 +566,7 @@ def shared_task_cap(
     block count + full-task term."""
     ln = np.asarray(lengths_np, np.float64)
     npairs = nq_tile * t_fixed
-    nblocks = int(np.ceil(np.maximum(ln, 1) / CHUNK).sum())
+    nblocks = int(np.ceil(np.maximum(ln, 1) / chunk).sum())
     # A task holds >= 1 pair, so npairs is itself a hard task bound (the
     # sum bound below can exceed it when nblocks is large vs a small tile).
     worst = min(npairs, npairs // Q_SHARE + min(npairs, nblocks) + 1)
@@ -522,7 +576,7 @@ def shared_task_cap(
     p_probed = np.minimum(1.0, n_probe * ln / n)
     # P(cluster probed by >= 1 query of the tile) x its chunk count.
     e_blocks = float(
-        ((1.0 - (1.0 - p_probed) ** nq_tile) * np.ceil(ln / CHUNK)).sum()
+        ((1.0 - (1.0 - p_probed) ** nq_tile) * np.ceil(ln / chunk)).sum()
     )
     exp = int(1.15 * (e_blocks + npairs / Q_SHARE)) + 8
     from ...ops.gather import quantize_up
@@ -531,6 +585,7 @@ def shared_task_cap(
 
 
 def _shared_kernel_factory(d: int, t_fixed: int, metric: str):
+    # (Chunk-free body: all shapes come from the refs.)
     def kernel(*refs):
         # refs: qrow,blk,cid (SMEM prefetch), qall, FAN_S x blocks,
         # FAN_S centroid blocks, FAN_S norm blocks, out plane.
@@ -579,7 +634,8 @@ def _shared_kernel_factory(d: int, t_fixed: int, metric: str):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("t_fixed", "t_cap", "metric", "interpret")
+    jax.jit,
+    static_argnames=("t_fixed", "t_cap", "metric", "chunk", "interpret"),
 )
 def _block_stream_shared_call(
     queries,  # (q_pad, d) f32 — whole tile, VMEM-resident (+1 trash row min)
@@ -593,11 +649,13 @@ def _block_stream_shared_call(
     t_fixed: int,
     t_cap: int,
     metric: str,
+    chunk: int = CHUNK,
     interpret: bool = False,
 ):
     q_pad, d = queries.shape
     steps = t_cap // FAN_S
     kernel = _shared_kernel_factory(d, t_fixed, metric)
+    CHUNK = chunk  # shadow the module default for the specs below
 
     def x_spec(f):
         return pl.BlockSpec(
@@ -671,6 +729,7 @@ def block_stream_search_shared(
     t_cap with worst_case=True to forbid drops)."""
     nq, d = queries.shape
     p = probe.shape[1]
+    CHUNK = table.chunk  # per-table block rows (see pick_chunk)
 
     sblk0 = table.sblk0[probe]  # (nq, p) start blocks
     lens = table.lengths[probe]
@@ -762,7 +821,8 @@ def block_stream_search_shared(
     plane = _block_stream_shared_call(
         qall, table.vecs, table.cent, table.norms,
         qrow_fan, blk_fan, cid_fan,
-        t_fixed=t_fixed, t_cap=t_cap, metric=metric, interpret=interpret,
+        t_fixed=t_fixed, t_cap=t_cap, metric=metric, chunk=CHUNK,
+        interpret=interpret,
     )
     dist_cat = plane[: nq * t_fixed].reshape(nq, t_fixed * CHUNK)
 

@@ -173,14 +173,18 @@ def build_local_stream_tables(tables: LocalTables, dtype) -> dict:
     """Per-device CHUNK-aligned RESIDUAL stream tables (host-side numpy),
     the multi-chip twin of ops.pallas.block_stream.build_stream_table.
 
-    Returns stacked arrays (leading n_dev axis) plus the static m_pad.
-    Cluster slot kc_local is the zero-length 'pad probe' target: local
-    probe slots whose coarse distance exceeds the global threshold are
-    redirected there and contribute no tasks."""
-    from ..ops.pallas.block_stream import CHUNK
+    Returns stacked arrays (leading n_dev axis) plus the static m_pad and
+    the per-table chunk (block rows — identical on every device so shapes
+    stay static under shard_map). Cluster slot kc_local is the zero-length
+    'pad probe' target: local probe slots whose coarse distance exceeds the
+    global threshold are redirected there and contribute no tasks."""
+    from ..ops.pallas.block_stream import pick_chunk
 
     n_dev, rows, d = tables.local_vecs.shape
     kc_local = tables.local_cent.shape[1]
+    CHUNK = pick_chunk(
+        tables.local_lengths.reshape(-1), d, jnp.dtype(dtype).itemsize
+    )
 
     sizes = _round_up_arr(np.maximum(tables.local_lengths, 0), CHUNK)
     m_pad = int(max(sizes.sum(axis=1).max(), CHUNK))
@@ -236,6 +240,7 @@ def build_local_stream_tables(tables: LocalTables, dtype) -> dict:
         blk_cid=blk_cid,
         scales=scales,
         m_pad=m_pad,
+        chunk=CHUNK,
     )
 
 
@@ -243,7 +248,7 @@ def _round_up_arr(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _stream_slots(local_lengths: np.ndarray, n_probe: int) -> int:
+def _stream_slots(local_lengths: np.ndarray, n_probe: int, chunk: int) -> int:
     """Per-device task-slot budget for the sharded stream kernel.
 
     A device sees only the globally-probed cells it owns, so its expected
@@ -253,16 +258,16 @@ def _stream_slots(local_lengths: np.ndarray, n_probe: int) -> int:
     never more slots than could be filled). Quantized like the single-chip
     sizing so nearby sweep points share compiles."""
     from ..ops.gather import quantize_up
-    from ..ops.pallas.block_stream import CHUNK, FAN
+    from ..ops.pallas.block_stream import FAN
 
     ln = np.asarray(local_lengths, np.float64)  # (n_dev, kc_local)
     n_total = max(ln.sum(), 1.0)
     p = np.minimum(1.0, n_probe * ln / n_total)
-    exp_d = (p * np.ceil(ln / CHUNK)).sum(axis=1).max()
+    exp_d = (p * np.ceil(ln / chunk)).sum(axis=1).max()
     worst = 1
     for d_ in range(ln.shape[0]):
         top = np.sort(ln[d_])[::-1][:n_probe]
-        worst = max(worst, int(np.ceil(top / CHUNK).sum()))
+        worst = max(worst, int(np.ceil(top / chunk).sum()))
     t = max(min(worst, int(1.25 * exp_d) + 2), 1)
     return _round_up(quantize_up(t), FAN)
 
@@ -325,13 +330,19 @@ class ShardedSearcher:
         model (same constants; shared-kernel variant not offered here)."""
         if self.method != "auto":
             return self.method
-        from ..ops.pallas.block_stream import CHUNK
+        from ..ops.pallas.block_stream import pick_chunk
 
         d = self.index.dimension
+        itemsize = jnp.dtype(self.index.stream_dtype).itemsize
         rows_local = self._host_tables.local_vecs.shape[1]
-        t_fixed = _stream_slots(self._host_tables.local_lengths, n_probe)
+        chunk = pick_chunk(
+            self._host_tables.local_lengths.reshape(-1), d, itemsize
+        )
+        t_fixed = _stream_slots(
+            self._host_tables.local_lengths, n_probe, chunk
+        )
         dense_cost = rows_local * d * 4
-        stream_cost = int(t_fixed * CHUNK * d * 2 * 1.5)
+        stream_cost = int(t_fixed * chunk * d * itemsize * 1.5)
         return "dense" if dense_cost <= stream_cost else "stream"
 
     # -- search ---------------------------------------------------------
@@ -385,7 +396,7 @@ class ShardedSearcher:
             st = self._stream_tables()
             exactish = jnp.dtype(self.index.stream_dtype) == jnp.float32
             t_fixed = _stream_slots(
-                self._host_tables.local_lengths, probe_bound
+                self._host_tables.local_lengths, probe_bound, st["chunk"]
             )
             q_tile = max(
                 8, min(256, (SMEM_TASK_CAP // max(t_fixed, 1)) // 8 * 8)
@@ -419,6 +430,7 @@ class ShardedSearcher:
                 probe_bound=probe_bound,
                 t_fixed=t_fixed,
                 q_tile=q_tile,
+                chunk=st["chunk"],
                 metric=self.index.metric
                 if self.index.metric != "cosine"
                 else "ip",
@@ -593,7 +605,7 @@ def _sharded_search_program(
 
 def _make_per_device_stream(
     centroids, c_sq, n_probe, k, axis, n_dev, probe_bound, t_fixed, q_tile,
-    metric, rerank, interpret,
+    chunk, metric, rerank, interpret,
 ):
     """Per-device block-stream search body: probed-blocks-only Pallas sweep
     of the device-local stream table + exact f32 re-rank from the local
@@ -624,6 +636,7 @@ def _make_per_device_stream(
             scales=scales,
             m_pad=svecs.shape[0],
             dtype=svecs.dtype,
+            chunk=chunk,
         )
         pb_l = min(probe_bound, kc_local)
 
@@ -642,7 +655,7 @@ def _make_per_device_stream(
             probe = jnp.where(-pvals <= thresh, ploc, kc_local).astype(
                 jnp.int32
             )
-            kk = min(max(2 * k, 64), t_fixed * 256) if rerank else k
+            kk = min(max(2 * k, 64), t_fixed * chunk) if rerank else k
             dvals, rows = block_stream_search(
                 qt, table, probe, kk,
                 t_fixed=t_fixed, metric=metric, approx=True,
@@ -675,8 +688,8 @@ def _make_per_device_stream(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "mesh", "axis", "k", "probe_bound", "t_fixed", "q_tile", "metric",
-        "rerank", "interpret",
+        "mesh", "axis", "k", "probe_bound", "t_fixed", "q_tile", "chunk",
+        "metric", "rerank", "interpret",
     ),
 )
 def _sharded_stream_program(
@@ -702,6 +715,7 @@ def _sharded_stream_program(
     probe_bound: int,
     t_fixed: int,
     q_tile: int,
+    chunk: int,
     metric: str,
     rerank: bool,
     interpret: bool,
@@ -710,7 +724,7 @@ def _sharded_stream_program(
 
     per_device = _make_per_device_stream(
         centroids, c_sq, n_probe, k, axis, mesh.shape[axis], probe_bound,
-        t_fixed, q_tile, metric, rerank, interpret,
+        t_fixed, q_tile, chunk, metric, rerank, interpret,
     )
     fn = shard_map(
         per_device,
