@@ -52,7 +52,8 @@ def main() -> None:
         default="auto",
         choices=[
             "auto", "dense", "dense_exact", "gather", "gather_dma",
-            "stream", "stream_exact", "flat", "flat_exact",
+            "stream", "stream_exact", "stream_shared",
+            "stream_shared_exact", "flat", "flat_exact",
         ],
     )
     p.add_argument("--metric", default="l2", choices=["l2", "ip", "cosine"])

@@ -57,11 +57,17 @@ def test_int8_table_quantization_bounds(built):
     assert v.max() <= 127 and v.min() >= -127
 
 
-def test_int8_shared_falls_back_to_per_query(built):
+def test_int8_shared_kernel(built):
+    # The block-major shared kernel carries the int8 dequant scale in its
+    # prefetch; result sets must match the exact path after re-rank.
     idx, data = built
     idx.stream_dtype = jnp.int8
     try:
-        D, I = idx.search_batch(data[:16], 5, 4, method="stream_shared")
+        q = data[:16] + 0.01
+        Dg, Ig = idx.search_batch(q, 5, 4, method="gather")
+        D, I = idx.search_batch(q, 5, 4, method="stream_shared")
+        for a, b in zip(Ig, I):
+            assert set(a.tolist()) == set(b.tolist())
         assert (I[:, 0] == np.arange(16)).all()
     finally:
         idx.stream_dtype = jnp.bfloat16
@@ -81,6 +87,30 @@ def test_offload_mode_end_to_end():
     # Host re-rank returns exact f32 distances (reduction-order noise only).
     np.testing.assert_allclose(np.sort(D_ref, 1), np.sort(D, 1), rtol=1e-3,
                                atol=1e-3)
+
+
+def test_offload_device_ranked_mode():
+    # rerank='none': device-throughput serving; distances carry int8
+    # quantization error but the result SET matches the exact oracle on
+    # well-separated data.
+    data, _, _ = make_gaussian_clusters(8, 150, 24, spread=0.4, separation=8.0)
+    idx = IvfIndex.fit(_store(data), seed=7)
+    q = data[:24] + 0.01
+    D_ref, I_ref = idx.search_batch(q, 10, idx.num_clusters, method="gather")
+    idx.offload_main_table(rerank="none")
+    D, I = idx.search_batch(q, 10, idx.num_clusters)
+    for a, b in zip(I_ref, I):
+        assert set(a.tolist()) == set(b.tolist())
+    # Quantized distances approximate the exact ones.
+    np.testing.assert_allclose(np.sort(D_ref, 1), np.sort(D, 1), rtol=0.05,
+                               atol=0.05)
+
+
+def test_offload_bad_rerank_mode():
+    data, _, _ = make_gaussian_clusters(4, 80, 16, spread=0.4, separation=8.0)
+    idx = IvfIndex.fit(_store(data), seed=1)
+    with pytest.raises(ValueError, match="rerank"):
+        idx.offload_main_table(rerank="gpu")
 
 
 def test_offload_rejects_non_stream_methods():

@@ -109,6 +109,34 @@ def test_spill_persistence_roundtrip(spilled, tmp_path):
     np.testing.assert_allclose(Da, Db, rtol=1e-5, atol=1e-5)
 
 
+def test_spill_wide_k_dedup_branch(spilled):
+    # kk = 2k > 512 exercises the sort-based dedup path; same contract.
+    idx, data = spilled
+    D, I = idx.search_batch(data[:8], k=300, n_probe=idx.num_clusters)
+    for row in I:
+        real = row[row >= 0]
+        assert len(set(real.tolist())) == len(real)
+    assert (I[:, 0] == np.arange(8)).all()
+    assert (np.diff(D[np.isfinite(D).all(1)], axis=1) >= -1e-6).all()
+
+
+def test_spill_metrics_ip_cosine():
+    # Spill assignment always runs on the (normalized-for-cosine) corpus
+    # with L2 cell geometry — consistent with probe-time L2 cell selection.
+    g = np.random.default_rng(13)
+    data = g.normal(0, 1, (1500, 16)).astype(np.float32)
+    for metric in ("ip", "cosine"):
+        idx = IvfIndex.fit(_store(data), seed=13, metric=metric, spill=1)
+        D, I = idx.search_batch(data[:16], 5, idx.num_clusters)
+        base = IvfIndex.fit(_store(data), seed=13, metric=metric)
+        Db, Ib = base.search_batch(data[:16], 5, base.num_clusters)
+        for a, b in zip(I, Ib):
+            assert set(a.tolist()) == set(b.tolist()), metric
+        for row in I:
+            real = row[row >= 0]
+            assert len(set(real.tolist())) == len(real), metric
+
+
 def test_spill_clustered_data_consistency():
     # On well-separated clusters spill must not hurt: same result sets as
     # the unspilled index at full probe, self-hits at small probe.

@@ -95,6 +95,13 @@ class VectorIndex:
                 )
         return jnp.asarray(xq)
 
+    def offload(self, stream_dtype=None, rerank: str = "host") -> None:
+        """Larger-than-HBM mode: free the f32 main table, serve from a
+        compact (int8 by default) stream table with exact host re-rank
+        (rerank='host') or device-throughput quantized ranking
+        (rerank='none'). See IvfIndex.offload_main_table."""
+        self._indexer.index.offload_main_table(stream_dtype, rerank=rerank)
+
     def rows_to_external(self, rows) -> np.ndarray:
         """Map device layout rows (from search_device) to external ids."""
         idx = self._indexer.index

@@ -350,12 +350,31 @@ def _dedup_topk(dvals, rows, perm_dev, *, k: int):
     """Collapse duplicate internal ids in a (nq, kk) candidate list (kk >=
     2k on spilled indexes, where a vector can surface from both its cells)
     and re-select the top k. Duplicates carry identical exact distances, so
-    keeping the first occurrence is exact."""
+    keeping the first occurrence is exact.
+
+    Narrow lists use an O(kk^2) comparison mask (pure VPU, no sorts); wide
+    lists (k up to the 10k API cap -> kk 20k would be a 400M-element mask)
+    switch to a sort-based pass: stable-sort by id so equal ids are
+    adjacent with the better slot first, mark non-first occurrences, and
+    scatter the flags back through the inverse permutation."""
     ids = jnp.where(rows >= 0, perm_dev[jnp.maximum(rows, 0)], -1)
     kk = ids.shape[1]
-    eq = (ids[:, :, None] == ids[:, None, :]) & (ids[:, None, :] >= 0)
-    lower = jnp.tril(jnp.ones((kk, kk), bool), -1)  # j strictly before i
-    dup = (eq & lower[None]).any(axis=2)
+    if kk <= 512:
+        eq = (ids[:, :, None] == ids[:, None, :]) & (ids[:, None, :] >= 0)
+        lower = jnp.tril(jnp.ones((kk, kk), bool), -1)  # j strictly before i
+        dup = (eq & lower[None]).any(axis=2)
+    else:
+        ordi = jnp.argsort(ids, axis=1, stable=True)
+        ids_s = jnp.take_along_axis(ids, ordi, axis=1)
+        dup_s = jnp.concatenate(
+            [
+                jnp.zeros((ids.shape[0], 1), bool),
+                (ids_s[:, 1:] == ids_s[:, :-1]) & (ids_s[:, 1:] >= 0),
+            ],
+            axis=1,
+        )
+        inv = jnp.argsort(ordi, axis=1)  # inverse permutation per row
+        dup = jnp.take_along_axis(dup_s, inv, axis=1)
     dist = jnp.where(dup | (rows < 0), jnp.inf, dvals)
     dv, sel = topk_smallest(dist, k)
     rsel = jnp.take_along_axis(rows, jnp.maximum(sel, 0), axis=1)
@@ -615,7 +634,7 @@ class IvfIndex:
                 )
         return self._stream_tables[dtype]
 
-    def offload_main_table(self, stream_dtype=None) -> None:
+    def offload_main_table(self, stream_dtype=None, rerank: str = "host") -> None:
         """Larger-than-HBM serving mode: free the f32 main table (+ norms)
         from device HBM and keep only a compact stream table (int8 by
         default — 4x less HBM than f32, 16x counting the freed main table's
@@ -629,19 +648,38 @@ class IvfIndex:
         the disk:RAM role — a corpus whose f32 table exceeds HBM degrades
         to int8-sweep + host-rerank instead of failing to stage.
 
+        ``rerank``: 'host' (default) re-ranks a widened shortlist exactly
+        from the host mirror — exact distances at a per-batch host cost
+        that dominates throughput for large shortlists; 'none' returns the
+        device's quantized-sweep ranking directly (distances carry the
+        int8 residual quantization error; selection quality is near-exact)
+        at full device throughput — the high-QPS serving mode.
+
         After offload only the 'stream' method is available; 'auto' resolves
         to it. Irreversible on this index object (reload to undo)."""
+        if rerank not in ("host", "none"):
+            raise ValueError("rerank must be 'host' or 'none'")
         if self.layout is None:
             raise RuntimeError("index is empty: fit or load it first")
-        if getattr(self, "_host_data", None) is None:
+        if rerank == "host" and getattr(self, "_host_data", None) is None:
             raise RuntimeError(
-                "offload requires the host mirror (fit/load create it)"
+                "offload with rerank='host' requires the host mirror "
+                "(fit/load create it)"
             )
+        self._offload_rerank = rerank
         self.stream_dtype = jnp.dtype(
             stream_dtype if stream_dtype is not None else jnp.int8
         )
         # Build the compact table BEFORE dropping its f32 source.
         st = self._stream_table(self.stream_dtype)
+        # Free stream tables of other dtypes (e.g. a bf16 table from full
+        # mode): offload exists to minimize HBM residency.
+        for dt in list(self._stream_tables):
+            if dt != self.stream_dtype:
+                for leaf in jax.tree_util.tree_leaves(self._stream_tables[dt]):
+                    if isinstance(leaf, jax.Array):
+                        leaf.delete()
+                del self._stream_tables[dt]
         lay = self.layout
         self._n_pad = lay.vectors.shape[0]
         # Remap stream rows to themselves as 'main rows' is not needed: the
@@ -737,7 +775,10 @@ class IvfIndex:
         hardware approximate selection (recall_target 0.99), 'stream' ranks
         in reduced precision before the exact re-rank.
         """
-        if getattr(self, "offloaded", False):
+        if (
+            getattr(self, "offloaded", False)
+            and getattr(self, "_offload_rerank", "host") == "host"
+        ):
             return self._search_offloaded(queries, k, n_probe)
         dvals, irows = self.search_batch_device(queries, k, n_probe, method)
         nq = queries.shape[0] if queries.ndim == 2 else 1
@@ -771,36 +812,47 @@ class IvfIndex:
         q = queries
         if self.metric == "cosine":
             q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-        cand = self._host_data[np.maximum(internal, 0)]  # (nq, kk, d)
-        cross = np.einsum("nd,nkd->nk", q, cand.astype(np.float32))
+        cand = self._host_data[np.maximum(internal, 0)].astype(
+            np.float32, copy=False
+        )  # (nq, kk, d)
+        # Single pass over the gathered rows (np.einsum's nd,nkd->nk does
+        # not dispatch to BLAS — measured ~100x slower on this host — and
+        # batched matmul issues nq separate gemv calls); corpus norms are
+        # precomputed once so the rerank touches cand exactly once.
+        cross = (cand * q[:, None, :]).sum(-1)
         if self.metric == "l2":
+            if getattr(self, "_host_norms", None) is None:
+                hd = self._host_data.astype(np.float32, copy=False)
+                self._host_norms = (hd * hd).sum(1)
             exact = np.maximum(
                 (q**2).sum(1)[:, None]
                 - 2.0 * cross
-                + (cand.astype(np.float32) ** 2).sum(-1),
+                + self._host_norms[np.maximum(internal, 0)],
                 0.0,
             )
         else:
             exact = -cross
         exact = np.where(internal >= 0, exact, np.inf)
-        # Per-row: sort by exact distance, drop duplicate ids, take k.
-        D = np.full((nq, k), np.inf, np.float32)
-        I = np.full((nq, k), -1, np.int64)
+        # Sort by exact distance, drop duplicate ids (first occurrence =
+        # smallest distance), compact the first k survivors left — fully
+        # vectorized (the per-row python loop cost ~0.5 s/kilobatch).
         order = np.argsort(exact, axis=1, kind="stable")
-        for qi in range(nq):
-            seen = set()
-            w = 0
-            for j in order[qi]:
-                v = internal[qi, j]
-                if v < 0 or not np.isfinite(exact[qi, j]) or v in seen:
-                    continue
-                seen.add(v)
-                D[qi, w] = exact[qi, j]
-                I[qi, w] = v
-                w += 1
-                if w == k:
-                    break
-        return D, I
+        ids_o = np.take_along_axis(internal, order, axis=1)
+        d_o = np.take_along_axis(exact, order, axis=1)
+        oi = np.argsort(ids_o, axis=1, kind="stable")
+        ids_s = np.take_along_axis(ids_o, oi, axis=1)
+        dup_s = np.zeros_like(ids_s, bool)
+        dup_s[:, 1:] = (ids_s[:, 1:] == ids_s[:, :-1]) & (ids_s[:, 1:] >= 0)
+        dup = np.empty_like(dup_s)
+        np.put_along_axis(dup, oi, dup_s, axis=1)
+        keep = (~dup) & (ids_o >= 0) & np.isfinite(d_o)
+        sel = np.argsort(~keep, axis=1, kind="stable")[:, :k]
+        taken = np.take_along_axis(keep, sel, axis=1)
+        D = np.where(
+            taken, np.take_along_axis(d_o, sel, axis=1), np.inf
+        ).astype(np.float32)
+        I = np.where(taken, np.take_along_axis(ids_o, sel, axis=1), -1)
+        return D, I.astype(np.int64)
 
     def _perm_dev_table(self):
         """Device int32 map layout row -> internal id (-1 on gap/tail rows),
@@ -936,12 +988,6 @@ class IvfIndex:
 
             exact = method.endswith("_exact")
             shared = method.startswith("stream_shared")
-            if shared and not exact and jnp.dtype(self.stream_dtype) == jnp.int8:
-                # The block-major shared kernel has no int8 dequant epilogue
-                # (its task routing carries no per-task scale); the per-query
-                # kernel covers the int8 serving mode.
-                shared = False
-                method = "stream"
             st = self._stream_table(
                 jnp.float32 if exact else self.stream_dtype
             )

@@ -167,13 +167,34 @@ def build_stream_table(
         if ln:
             row_cid[bases[c] : bases[c] + _round_up(ln, CHUNK)] = c
 
-    idx = jnp.asarray(to_main, jnp.int32)
-    cent = jnp.asarray(centroids, jnp.float32)
-    row_cid_dev = jnp.asarray(row_cid, jnp.int32)
-    gathered = jnp.asarray(layout.vectors)[idx]  # (m_pad, d) f32
+    # Tiled device build: the eager chain would hold several table-sized
+    # f32 intermediates at once (gather, residual, quantized, dequantized
+    # — ~8 GB transient at n=4M), which matters on a shared chip. Row
+    # tiles bound the transient peak to ~3 tile buffers; outputs stream
+    # into the final arrays via lax.map/scan.
+    R = min(1 << 19, _round_up(m_pad, 8))  # rows/build tile (<=256 MB f32)
+    d = layout.dim
+    m_t = _round_up(m_pad, R)
     real_np = to_main != main_pad_row
-    real = jnp.asarray(real_np[:, None], jnp.float32)
-    residual = (gathered - cent[row_cid_dev]) * real
+    idx_p = np.full(m_t, main_pad_row, np.int64)
+    idx_p[:m_pad] = to_main
+    cid_p = np.zeros(m_t, np.int64)
+    cid_p[:m_pad] = row_cid
+    real_p = np.zeros(m_t, bool)
+    real_p[:m_pad] = real_np
+
+    main_vecs = jnp.asarray(layout.vectors)
+    cent = jnp.asarray(centroids, jnp.float32)
+    ntile = m_t // R
+    tiles = (
+        jnp.asarray(idx_p, jnp.int32).reshape(ntile, R),
+        jnp.asarray(cid_p, jnp.int32).reshape(ntile, R),
+        jnp.asarray(real_p).reshape(ntile, R),
+    )
+
+    def residual_tile(args):
+        it, ct, rt = args
+        return (main_vecs[it] - cent[ct]) * rt[:, None]
 
     dtype = jnp.dtype(dtype)
     if dtype == jnp.int8:
@@ -181,29 +202,45 @@ def build_stream_table(
         # owning cluster, then round(r / s) clipped to [-127, 127]. One-time
         # build cost; norms are the f32 norms of the DEQUANTIZED rows so
         # in-kernel |q-c|^2 - 2 s (q-c).q8 + |s q8|^2 is self-consistent.
-        maxabs_row = jnp.max(jnp.abs(residual), axis=1)
-        scale_c = jnp.zeros(kc, jnp.float32).at[row_cid_dev].max(
-            jnp.where(jnp.asarray(real_np), maxabs_row, 0.0)
-        )
+        def p1(carry, args):
+            res = residual_tile(args)
+            m = jnp.max(jnp.abs(res), axis=1) * args[2]
+            return carry.at[args[1]].max(m), None
+
+        scale_c, _ = jax.lax.scan(p1, jnp.zeros(kc, jnp.float32), tiles)
         scales = jnp.maximum(scale_c / 127.0, 1e-12)
-        q8 = jnp.clip(
-            jnp.round(residual / scales[row_cid_dev][:, None]), -127, 127
-        )
-        vecs = q8.astype(jnp.int8)
-        deq = q8 * scales[row_cid_dev][:, None]
-        norms = jnp.where(
-            jnp.asarray(real_np), jnp.sum(deq * deq, axis=1), 1e30
-        )
+
+        def p2(args):
+            _, ct, rt = args
+            res = residual_tile(args)
+            s = scales[ct][:, None]
+            q8 = jnp.clip(jnp.round(res / s), -127, 127)
+            deq = q8 * s
+            return (
+                q8.astype(jnp.int8),
+                jnp.where(rt, jnp.sum(deq * deq, axis=1), 1e30),
+            )
+
+        vecs_t, norms_t = jax.lax.map(p2, tiles)
     else:
         scales = jnp.ones(kc, jnp.float32)
-        vecs = residual.astype(dtype)
+
         # Pad rows carry SENTINEL norms so any distance computed against
         # them is >= 1e29 and can never displace a real candidate — the
         # same invariant the main layout uses; the shared kernel relies on
         # it instead of a per-lane mask.
-        norms = jnp.where(
-            jnp.asarray(real_np), jnp.sum(residual * residual, axis=1), 1e30
-        )
+        def p_plain(args):
+            rt = args[2]
+            res = residual_tile(args)
+            return (
+                res.astype(dtype),
+                jnp.where(rt, jnp.sum(res * res, axis=1), 1e30),
+            )
+
+        vecs_t, norms_t = jax.lax.map(p_plain, tiles)
+    vecs = vecs_t.reshape(m_t, d)[:m_pad]
+    norms = norms_t.reshape(m_t)[:m_pad]
+    idx = jnp.asarray(to_main, jnp.int32)
     return StreamTable(
         vecs=vecs,
         norms=norms,
@@ -544,12 +581,14 @@ def block_stream_search(
 # so grouping costs no extra compute time; effective bandwidth scales with
 # the sharing factor.
 #
-# VMEM-resident plane trick: the whole query tile (q_tile x d) and the whole
-# output distance plane (q_tile*t_fixed, CHUNK) live in VMEM with constant
-# index maps (fetched/flushed once per grid); the kernel reads query rows and
-# writes distance rows at dynamic sublane offsets, so no scalar-prefetched
-# output routing is needed and unwritten slots keep their +inf init — masking
-# falls out for free (pad lanes carry SENTINEL norms from the table).
+# VMEM-resident plane trick: the whole output distance plane
+# (q_tile*t_fixed, CHUNK) lives in VMEM with a constant index map
+# (flushed once per grid); the kernel writes distance rows at dynamic
+# sublane offsets, so no scalar-prefetched output routing is needed and
+# unwritten slots keep their +inf init — masking falls out for free (pad
+# lanes carry SENTINEL norms from the table). Query-side rows arrive
+# pre-subtracted in a sequential per-step ref (see _shared_kernel_factory),
+# so the only remaining dynamic sublane ops are the Q_SHARE output writes.
 
 Q_SHARE = 8  # query slots per task
 FAN_S = 8  # blocks (tasks) per grid step — amortizes Mosaic's per-step cost
@@ -585,16 +624,20 @@ def shared_task_cap(
 
 
 def _shared_kernel_factory(d: int, t_fixed: int, metric: str):
-    # (Chunk-free body: all shapes come from the refs.)
+    # (Chunk-free body: all shapes come from the refs.) Same DMA economics
+    # as the per-query kernel: the per-pair query-side rows q-c (or q)
+    # arrive pre-subtracted in ONE sequential ref per grid step, with the
+    # paired |q-c|^2 / -q.c scalar and the int8 dequant scale riding the
+    # SMEM prefetch — no per-task centroid blocks, no dynamic query-row
+    # reads (previously Q_SHARE dynamic sublane reads x ~160 ns per task).
     def kernel(*refs):
-        # refs: qrow,blk,cid (SMEM prefetch), qall, FAN_S x blocks,
-        # FAN_S centroid blocks, FAN_S norm blocks, out plane.
-        qrow_ref, blk_ref, cid_ref = refs[:3]
-        qall_ref = refs[3]
-        x_refs = refs[4 : 4 + FAN_S]
-        c_refs = refs[4 + FAN_S : 4 + 2 * FAN_S]
-        n_refs = refs[4 + 2 * FAN_S : 4 + 3 * FAN_S]
-        out_ref = refs[4 + 3 * FAN_S]
+        # refs: qrow,blk,bias,scl (SMEM prefetch), qcs (1, FAN_S*Q_SHARE, d)
+        # sequential, FAN_S x blocks, FAN_S norm blocks, out plane.
+        qrow_ref, _blk_ref, bias_ref, scl_ref = refs[:4]
+        qcs_ref = refs[4]
+        x_refs = refs[5 : 5 + FAN_S]
+        n_refs = refs[5 + FAN_S : 5 + 2 * FAN_S]
+        out_ref = refs[5 + 2 * FAN_S]
         t = pl.program_id(0)
 
         @pl.when(t == 0)
@@ -603,31 +646,31 @@ def _shared_kernel_factory(d: int, t_fixed: int, metric: str):
 
         for f in range(FAN_S):
             x = x_refs[f][:]  # (CHUNK, d) residual rows, table dtype
-            c = c_refs[f][0].astype(jnp.float32)  # (1, d) block's centroid
             nrm = n_refs[f][0, 0]  # (CHUNK,) f32; SENTINEL on pad rows
+            int8_mode = x.dtype == jnp.int8
+            if int8_mode:
+                x = x.astype(jnp.bfloat16)
             prec = _dot_precision(x.dtype)
             for s in range(Q_SHARE):
                 r = qrow_ref[f, s, t]  # query*t_fixed+slot (trash if unused)
-                qi = r // t_fixed
-                q = qall_ref[pl.ds(qi, 1), :]  # (1, d) f32
+                qc = qcs_ref[0, f * Q_SHARE + s, :][None, :]  # (1, d) f32
+                bias = bias_ref[f, s, t]  # |q-c|^2 (l2) / -q.c (ip)
+                # |q-x|^2 = |q-c|^2 - 2 (q-c).res + |res|^2 (large terms
+                # exact f32); ip: -q.x = -q.c - q.res.
+                cross = jax.lax.dot_general(
+                    qc.astype(x.dtype), x, (((1,), (1,)), ((), ())),
+                    precision=prec,
+                    preferred_element_type=jnp.float32,
+                )  # (1, CHUNK)
+                if int8_mode:
+                    cross = cross * scl_ref[f, t]
                 if metric == "l2":
-                    # |q-x|^2 = |q-c|^2 - 2 (q-c).res + |res|^2
-                    # (large terms exact f32).
-                    qc = q - c
-                    cross = jax.lax.dot_general(
-                        qc.astype(x.dtype), x, (((1,), (1,)), ((), ())),
-                        precision=prec,
-                        preferred_element_type=jnp.float32,
-                    )  # (1, CHUNK)
-                    dist = jnp.sum(qc * qc) - 2.0 * cross + nrm[None, :]
-                else:  # ip: -q.x = -q.c - q.res; sentinel pads penalized
-                    cross = jax.lax.dot_general(
-                        q.astype(x.dtype), x, (((1,), (1,)), ((), ())),
-                        precision=prec,
-                        preferred_element_type=jnp.float32,
+                    dist = bias - 2.0 * cross + nrm[None, :]
+                else:  # sentinel pads penalized
+                    dist = (
+                        bias - cross
+                        + jnp.where(nrm >= 1e29, nrm, 0.0)[None, :]
                     )
-                    pen = jnp.where(nrm >= 1e29, nrm, 0.0)
-                    dist = -jnp.sum(q * c) - cross + pen[None, :]
                 out_ref[pl.ds(r, 1), :] = dist
 
     return kernel
@@ -635,55 +678,54 @@ def _shared_kernel_factory(d: int, t_fixed: int, metric: str):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("t_fixed", "t_cap", "metric", "chunk", "interpret"),
+    static_argnames=(
+        "q_pad", "t_fixed", "t_cap", "metric", "chunk", "interpret",
+    ),
 )
 def _block_stream_shared_call(
-    queries,  # (q_pad, d) f32 — whole tile, VMEM-resident (+1 trash row min)
+    qcs,  # (steps, FAN_S*Q_SHARE, d) f32 pre-subtracted q-c (q for ip)
     vecs,  # (m_pad, d) stream table
-    cent,  # (kc, d) f32
     norms,  # (m_pad,) f32
     qrow,  # (FAN_S, Q_SHARE, steps) int32 — query*t_fixed+slot per task slot
     blk,  # (FAN_S, steps) int32 — block id per task
-    cid,  # (FAN_S, steps) int32 — owning cluster per task
+    bias,  # (FAN_S, Q_SHARE, steps) f32 — |q-c|^2 (l2) / -q.c (ip)
+    scl,  # (FAN_S, steps) f32 — int8 dequant scale per task
     *,
+    q_pad: int,
     t_fixed: int,
     t_cap: int,
     metric: str,
     chunk: int = CHUNK,
     interpret: bool = False,
 ):
-    q_pad, d = queries.shape
+    d = qcs.shape[-1]
     steps = t_cap // FAN_S
     kernel = _shared_kernel_factory(d, t_fixed, metric)
     CHUNK = chunk  # shadow the module default for the specs below
 
     def x_spec(f):
         return pl.BlockSpec(
-            (CHUNK, d), lambda t, qrow, blk, cid, f=f: (blk[f, t], 0),
-            memory_space=pltpu.VMEM,
-        )
-
-    def c_spec(f):
-        return pl.BlockSpec(
-            (1, 1, d), lambda t, qrow, blk, cid, f=f: (cid[f, t], 0, 0),
+            (CHUNK, d), lambda t, qrow, blk, bias, scl, f=f: (blk[f, t], 0),
             memory_space=pltpu.VMEM,
         )
 
     def n_spec(f):
         return pl.BlockSpec(
-            (1, 1, CHUNK), lambda t, qrow, blk, cid, f=f: (blk[f, t], 0, 0),
+            (1, 1, CHUNK),
+            lambda t, qrow, blk, bias, scl, f=f: (blk[f, t], 0, 0),
             memory_space=pltpu.VMEM,
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(steps,),
         in_specs=[
-            pl.BlockSpec((q_pad, d), lambda t, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, FAN_S * Q_SHARE, d), lambda t, *_: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ]
         + [x_spec(f) for f in range(FAN_S)]
-        + [c_spec(f) for f in range(FAN_S)]
         + [n_spec(f) for f in range(FAN_S)],
         out_specs=pl.BlockSpec(
             (q_pad * t_fixed, CHUNK), lambda t, *_: (0, 0),
@@ -701,10 +743,9 @@ def _block_stream_shared_call(
         ),
         interpret=interpret,
     )(
-        qrow, blk, cid,
-        queries,
+        qrow, blk, bias, scl,
+        qcs,
         *([vecs] * FAN_S),
-        *([cent[:, None, :]] * FAN_S),
         *([norms.reshape(-1, 1, CHUNK)] * FAN_S),
     )
     return plane
@@ -810,19 +851,39 @@ def block_stream_search_shared(
     trash = nq * t_fixed  # extra plane row; q row nq is zero padding
     qrow_t = jnp.where(in_task, qrow_s[pos_c], trash)
 
+    # Query-side rows + bias per (task, pair), pre-subtracted so the kernel
+    # needs no centroid blocks or dynamic query reads (trash pairs hit the
+    # zero query row; their finite garbage lands in the trash plane row).
+    qi_t = qrow_t // t_fixed  # (Q_SHARE, t_cap); trash -> row nq
+    qall = jnp.pad(queries, ((0, 1), (0, 0)))  # zero row at index nq
+    qsel = qall[qi_t]  # (Q_SHARE, t_cap, d)
+    cent_t = table.cent[cid_t]  # (t_cap, d) task-block centroids
+    if metric == "l2":
+        qc = qsel - cent_t[None, :, :]
+        bias2 = jnp.sum(qc * qc, axis=-1)  # (Q_SHARE, t_cap)
+    else:
+        qc = qsel
+        bias2 = -jnp.sum(qsel * cent_t[None, :, :], axis=-1)
+    scl_t = table.scales[cid_t]  # (t_cap,)
+
     # Fan-major split: fan f owns tasks [f*steps, (f+1)*steps).
     steps = t_cap // FAN_S
     qrow_fan = qrow_t.reshape(Q_SHARE, FAN_S, steps).transpose(1, 0, 2)
+    bias_fan = bias2.reshape(Q_SHARE, FAN_S, steps).transpose(1, 0, 2)
     blk_fan = blk_t.reshape(FAN_S, steps)
-    cid_fan = cid_t.reshape(FAN_S, steps)
+    scl_fan = scl_t.reshape(FAN_S, steps)
+    qcs = (
+        qc.reshape(Q_SHARE, FAN_S, steps, d)
+        .transpose(2, 1, 0, 3)
+        .reshape(steps, FAN_S * Q_SHARE, d)
+    )
 
     q_pad = nq + 8  # trash row + sublane alignment for the VMEM plane
-    qall = jnp.pad(queries, ((0, q_pad - nq), (0, 0)))
     plane = _block_stream_shared_call(
-        qall, table.vecs, table.cent, table.norms,
-        qrow_fan, blk_fan, cid_fan,
-        t_fixed=t_fixed, t_cap=t_cap, metric=metric, chunk=CHUNK,
-        interpret=interpret,
+        qcs, table.vecs, table.norms,
+        qrow_fan, blk_fan, bias_fan, scl_fan,
+        q_pad=q_pad, t_fixed=t_fixed, t_cap=t_cap, metric=metric,
+        chunk=CHUNK, interpret=interpret,
     )
     dist_cat = plane[: nq * t_fixed].reshape(nq, t_fixed * CHUNK)
 
