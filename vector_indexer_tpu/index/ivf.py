@@ -704,20 +704,18 @@ class IvfIndex:
         table once per tile; the block-stream kernel touches only probed
         CHUNK blocks (bf16) with ~50% fixed-overhead markup. Measured
         crossover on v5e: dense wins to ~150k rows, stream beyond (2.8x
-        flat at n=1M, nprobe<=8, recall 1.0). Within stream, the
-        block-major shared kernel pays when many queries of a tile probe
-        the same blocks: measured win at sharing ratio (pairs per task)
-        >= ~3.5 (e.g. n=100k, nq=1024, nprobe<=8 -> 1.6x); below that its
-        dynamic row writes cost more per task than per-query streaming.
-        Exposed publicly so the bench harness can report which concrete
-        path an 'auto' sweep point ran."""
+        flat at n=1M, nprobe<=8, recall 1.0). The block-major shared
+        kernel is never auto-selected: it paid only while the per-query
+        kernel spent per-task DMAs on query+centroid blocks; after those
+        were removed (sequential qvec ref) the per-query kernel wins at
+        every measured point — same-window A/B at n=100k: 101-124k qps
+        (stream) vs 99-101k (shared) at nlist=1268, and 51-86k vs 25-46k
+        at nlist=160 where sharing saturates Q_SHARE=8. 'stream_shared'
+        stays available explicitly. Exposed publicly so the bench harness
+        can report which concrete path an 'auto' sweep point ran."""
         if getattr(self, "offloaded", False):
             return "stream"
-        from ..ops.pallas.block_stream import (
-            per_query_slots,
-            pick_chunk,
-            shared_task_cap,
-        )
+        from ..ops.pallas.block_stream import per_query_slots, pick_chunk
 
         lay = self.layout
         d = self.dimension
@@ -728,19 +726,7 @@ class IvfIndex:
         q_tile_d = pick_q_tile(nq, lay.vectors.shape[0] * 4 // d, d)
         dense_cost = -(-nq // q_tile_d) * lay.vectors.shape[0] * d * 4
         stream_cost = int(nq * t_fixed * chunk * d * itemsize * 1.5)
-        method = "dense" if dense_cost <= stream_cost else "stream"
-        if method == "stream":
-            q_tile_s = max(
-                8, min(1024, ((8 << 20) // (t_fixed * chunk * 4)) // 8 * 8)
-            )
-            q_tile_s = min(q_tile_s, _round_up(nq, 8))
-            t_cap_s = shared_task_cap(
-                np.asarray(lay.lengths), n_probe, q_tile_s, t_fixed,
-                chunk=chunk,
-            )
-            if q_tile_s * t_fixed >= 3.5 * t_cap_s:
-                method = "stream_shared"
-        return method
+        return "dense" if dense_cost <= stream_cost else "stream"
 
     def _budget_for(self, n_probe: int) -> int:
         """Static packed-gather budget for n_probe (cached; exact, never
@@ -1006,17 +992,26 @@ class IvfIndex:
             t_cap = 0
             if shared:
                 # Sharing grows with the tile (more queries probe the same
-                # block), so the shared path tiles up to 1024 queries; the
-                # binding constraint is the VMEM-resident
-                # (q_tile*t_fixed, chunk) distance plane, bounded to ~8 MB.
-                plane_cap = (8 << 20) // (t_fixed * chunk * 4)
-                q_tile = max(8, min(1024, plane_cap // 8 * 8))
+                # block), so the shared path tiles up to 1024 queries. The
+                # task-major plane streams to HBM (no VMEM-resident plane
+                # anymore); bound the per-tile plane+qcs transient
+                # (Q_SHARE*(chunk+d)*4 B per task) and keep the prefetch
+                # arrays in SMEM.
+                from ..ops.pallas.block_stream import Q_SHARE
+
+                q_tile = max(8, min(1024, _round_up(nq, 8)))
+                while True:
+                    t_cap = shared_task_cap(
+                        np.asarray(lay.lengths), n_probe, q_tile, t_fixed,
+                        worst_case=exact, chunk=chunk,
+                    )
+                    if q_tile <= 8 or (
+                        t_cap <= SMEM_TASK_CAP
+                        and t_cap * Q_SHARE * (chunk + d) * 4 <= (256 << 20)
+                    ):
+                        break
+                    q_tile = max(8, q_tile // 2)
             q_tile = min(q_tile, _round_up(nq, 8))
-            if shared:
-                t_cap = shared_task_cap(
-                    np.asarray(lay.lengths), n_probe, q_tile, t_fixed,
-                    worst_case=exact, chunk=chunk,
-                )
             offloaded = getattr(self, "offloaded", False)
             return _ivf_search_stream_program(
                 pad_to(q_tile),

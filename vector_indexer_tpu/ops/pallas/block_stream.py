@@ -581,14 +581,17 @@ def block_stream_search(
 # so grouping costs no extra compute time; effective bandwidth scales with
 # the sharing factor.
 #
-# VMEM-resident plane trick: the whole output distance plane
-# (q_tile*t_fixed, CHUNK) lives in VMEM with a constant index map
-# (flushed once per grid); the kernel writes distance rows at dynamic
-# sublane offsets, so no scalar-prefetched output routing is needed and
-# unwritten slots keep their +inf init — masking falls out for free (pad
-# lanes carry SENTINEL norms from the table). Query-side rows arrive
-# pre-subtracted in a sequential per-step ref (see _shared_kernel_factory),
-# so the only remaining dynamic sublane ops are the Q_SHARE output writes.
+# Task-major output: each grid step writes its own (FAN_S*Q_SHARE, CHUNK)
+# distance block at a static offset (double-buffered stream to HBM), and
+# the caller gathers rows back to per-query order before selection. This
+# removes ALL dynamic sublane ops from the kernel — a prior VMEM-resident
+# plane design wrote each pair's row at a dynamic offset, costing Q_SHARE
+# x ~160 ns per task, the dominant per-task cost (and its plane capped
+# q_tile at 8 MB of VMEM). The extra traffic is CHUNK*4 B of plane write
+# + 2x CHUNK*4 B gather per pair (~12% of a bf16 d=128 sweep). Query-side
+# rows arrive pre-subtracted in a sequential per-step ref; the int8 scale
+# rides the SMEM prefetch; the lane-constant |q-c|^2 / -q.c bias is added
+# outside, after the gather-back.
 
 Q_SHARE = 8  # query slots per task
 FAN_S = 8  # blocks (tasks) per grid step — amortizes Mosaic's per-step cost
@@ -623,26 +626,28 @@ def shared_task_cap(
     return _round_up(min(worst, quantize_up(exp)), _TASK_ALIGN)
 
 
-def _shared_kernel_factory(d: int, t_fixed: int, metric: str):
+def _shared_kernel_factory(d: int, metric: str):
     # (Chunk-free body: all shapes come from the refs.) Same DMA economics
     # as the per-query kernel: the per-pair query-side rows q-c (or q)
     # arrive pre-subtracted in ONE sequential ref per grid step, with the
-    # paired |q-c|^2 / -q.c scalar and the int8 dequant scale riding the
-    # SMEM prefetch — no per-task centroid blocks, no dynamic query-row
-    # reads (previously Q_SHARE dynamic sublane reads x ~160 ns per task).
+    # int8 dequant scale riding the SMEM prefetch. A task's Q_SHARE pairs
+    # are scored by ONE (Q_SHARE, d) x (d, CHUNK) matmul and stored with
+    # ONE static sublane-slice write into the step's output block — no
+    # dynamic sublane ops at all (a prior VMEM-plane design paid Q_SHARE
+    # dynamic row writes x ~160 ns per task, the dominant per-task cost).
+    # The per-pair |q-c|^2 / -q.c bias is added OUTSIDE the kernel, after
+    # the pair gather-back (it is lane-constant, so it commutes with
+    # selection-input assembly).
     def kernel(*refs):
-        # refs: qrow,blk,bias,scl (SMEM prefetch), qcs (1, FAN_S*Q_SHARE, d)
-        # sequential, FAN_S x blocks, FAN_S norm blocks, out plane.
-        qrow_ref, _blk_ref, bias_ref, scl_ref = refs[:4]
-        qcs_ref = refs[4]
-        x_refs = refs[5 : 5 + FAN_S]
-        n_refs = refs[5 + FAN_S : 5 + 2 * FAN_S]
-        out_ref = refs[5 + 2 * FAN_S]
+        # refs: blk,scl (SMEM prefetch), qcs (1, FAN_S*Q_SHARE, d)
+        # sequential, FAN_S x blocks, FAN_S norm blocks,
+        # out (1, FAN_S*Q_SHARE, CHUNK) per-step block.
+        _blk_ref, scl_ref = refs[:2]
+        qcs_ref = refs[2]
+        x_refs = refs[3 : 3 + FAN_S]
+        n_refs = refs[3 + FAN_S : 3 + 2 * FAN_S]
+        out_ref = refs[3 + 2 * FAN_S]
         t = pl.program_id(0)
-
-        @pl.when(t == 0)
-        def _():
-            out_ref[:] = jnp.full_like(out_ref, jnp.inf)
 
         for f in range(FAN_S):
             x = x_refs[f][:]  # (CHUNK, d) residual rows, table dtype
@@ -651,48 +656,36 @@ def _shared_kernel_factory(d: int, t_fixed: int, metric: str):
             if int8_mode:
                 x = x.astype(jnp.bfloat16)
             prec = _dot_precision(x.dtype)
-            for s in range(Q_SHARE):
-                r = qrow_ref[f, s, t]  # query*t_fixed+slot (trash if unused)
-                qc = qcs_ref[0, f * Q_SHARE + s, :][None, :]  # (1, d) f32
-                bias = bias_ref[f, s, t]  # |q-c|^2 (l2) / -q.c (ip)
-                # |q-x|^2 = |q-c|^2 - 2 (q-c).res + |res|^2 (large terms
-                # exact f32); ip: -q.x = -q.c - q.res.
-                cross = jax.lax.dot_general(
-                    qc.astype(x.dtype), x, (((1,), (1,)), ((), ())),
-                    precision=prec,
-                    preferred_element_type=jnp.float32,
-                )  # (1, CHUNK)
-                if int8_mode:
-                    cross = cross * scl_ref[f, t]
-                if metric == "l2":
-                    dist = bias - 2.0 * cross + nrm[None, :]
-                else:  # sentinel pads penalized
-                    dist = (
-                        bias - cross
-                        + jnp.where(nrm >= 1e29, nrm, 0.0)[None, :]
-                    )
-                out_ref[pl.ds(r, 1), :] = dist
+            qc8 = qcs_ref[0, f * Q_SHARE : (f + 1) * Q_SHARE, :]
+            # l2: |q-x|^2 = [|q-c|^2 outside] - 2 (q-c).res + |res|^2
+            # (large terms exact f32); ip: -q.x = [-q.c outside] - q.res.
+            cross = jax.lax.dot_general(
+                qc8.astype(x.dtype), x, (((1,), (1,)), ((), ())),
+                precision=prec,
+                preferred_element_type=jnp.float32,
+            )  # (Q_SHARE, CHUNK)
+            if int8_mode:
+                cross = cross * scl_ref[f, t]
+            if metric == "l2":
+                dist = nrm[None, :] - 2.0 * cross
+            else:  # sentinel pads penalized
+                dist = jnp.where(nrm >= 1e29, nrm, 0.0)[None, :] - cross
+            out_ref[0, f * Q_SHARE : (f + 1) * Q_SHARE, :] = dist
 
     return kernel
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "q_pad", "t_fixed", "t_cap", "metric", "chunk", "interpret",
-    ),
+    static_argnames=("t_cap", "metric", "chunk", "interpret"),
 )
 def _block_stream_shared_call(
     qcs,  # (steps, FAN_S*Q_SHARE, d) f32 pre-subtracted q-c (q for ip)
     vecs,  # (m_pad, d) stream table
     norms,  # (m_pad,) f32
-    qrow,  # (FAN_S, Q_SHARE, steps) int32 — query*t_fixed+slot per task slot
     blk,  # (FAN_S, steps) int32 — block id per task
-    bias,  # (FAN_S, Q_SHARE, steps) f32 — |q-c|^2 (l2) / -q.c (ip)
     scl,  # (FAN_S, steps) f32 — int8 dequant scale per task
     *,
-    q_pad: int,
-    t_fixed: int,
     t_cap: int,
     metric: str,
     chunk: int = CHUNK,
@@ -700,24 +693,24 @@ def _block_stream_shared_call(
 ):
     d = qcs.shape[-1]
     steps = t_cap // FAN_S
-    kernel = _shared_kernel_factory(d, t_fixed, metric)
+    kernel = _shared_kernel_factory(d, metric)
     CHUNK = chunk  # shadow the module default for the specs below
 
     def x_spec(f):
         return pl.BlockSpec(
-            (CHUNK, d), lambda t, qrow, blk, bias, scl, f=f: (blk[f, t], 0),
+            (CHUNK, d), lambda t, blk, scl, f=f: (blk[f, t], 0),
             memory_space=pltpu.VMEM,
         )
 
     def n_spec(f):
         return pl.BlockSpec(
             (1, 1, CHUNK),
-            lambda t, qrow, blk, bias, scl, f=f: (blk[f, t], 0, 0),
+            lambda t, blk, scl, f=f: (blk[f, t], 0, 0),
             memory_space=pltpu.VMEM,
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=2,
         grid=(steps,),
         in_specs=[
             pl.BlockSpec(
@@ -727,15 +720,21 @@ def _block_stream_shared_call(
         ]
         + [x_spec(f) for f in range(FAN_S)]
         + [n_spec(f) for f in range(FAN_S)],
+        # Task-major output: step t owns rows [t*FAN_S*Q_SHARE, ...) — a
+        # small double-buffered block streamed to HBM (+CHUNK*4 B/row of
+        # write traffic, ~12% of a bf16 d=128 sweep), not a VMEM-resident
+        # plane. The caller gathers rows back to per-query order.
         out_specs=pl.BlockSpec(
-            (q_pad * t_fixed, CHUNK), lambda t, *_: (0, 0),
+            (1, FAN_S * Q_SHARE, CHUNK), lambda t, *_: (t, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
     plane = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((q_pad * t_fixed, CHUNK), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (steps, FAN_S * Q_SHARE, CHUNK), jnp.float32
+        ),
         cost_estimate=pl.CostEstimate(
             flops=4 * t_cap * Q_SHARE * CHUNK * d,
             bytes_accessed=t_cap * CHUNK * d * vecs.dtype.itemsize,
@@ -743,7 +742,7 @@ def _block_stream_shared_call(
         ),
         interpret=interpret,
     )(
-        qrow, blk, bias, scl,
+        blk, scl,
         qcs,
         *([vecs] * FAN_S),
         *([norms.reshape(-1, 1, CHUNK)] * FAN_S),
@@ -848,28 +847,21 @@ def block_stream_search_shared(
     pos = pos_t[None, :] + jnp.arange(Q_SHARE, dtype=jnp.int32)[:, None]
     pos_c = jnp.minimum(pos, npairs - 1)
     in_task = valid_task[None, :] & (pos < npairs) & (ks[pos_c] == blk_t[None, :])
-    trash = nq * t_fixed  # extra plane row; q row nq is zero padding
+    trash = nq * t_fixed  # unused task slots gather the zero query row
     qrow_t = jnp.where(in_task, qrow_s[pos_c], trash)
 
-    # Query-side rows + bias per (task, pair), pre-subtracted so the kernel
-    # needs no centroid blocks or dynamic query reads (trash pairs hit the
-    # zero query row; their finite garbage lands in the trash plane row).
+    # Query-side rows per (task, pair), pre-subtracted so the kernel needs
+    # no centroid blocks or dynamic query reads (trash pairs hit the zero
+    # query row; their finite garbage lands in plane rows no pair gathers).
     qi_t = qrow_t // t_fixed  # (Q_SHARE, t_cap); trash -> row nq
     qall = jnp.pad(queries, ((0, 1), (0, 0)))  # zero row at index nq
     qsel = qall[qi_t]  # (Q_SHARE, t_cap, d)
     cent_t = table.cent[cid_t]  # (t_cap, d) task-block centroids
-    if metric == "l2":
-        qc = qsel - cent_t[None, :, :]
-        bias2 = jnp.sum(qc * qc, axis=-1)  # (Q_SHARE, t_cap)
-    else:
-        qc = qsel
-        bias2 = -jnp.sum(qsel * cent_t[None, :, :], axis=-1)
+    qc = qsel - cent_t[None, :, :] if metric == "l2" else qsel
     scl_t = table.scales[cid_t]  # (t_cap,)
 
     # Fan-major split: fan f owns tasks [f*steps, (f+1)*steps).
     steps = t_cap // FAN_S
-    qrow_fan = qrow_t.reshape(Q_SHARE, FAN_S, steps).transpose(1, 0, 2)
-    bias_fan = bias2.reshape(Q_SHARE, FAN_S, steps).transpose(1, 0, 2)
     blk_fan = blk_t.reshape(FAN_S, steps)
     scl_fan = scl_t.reshape(FAN_S, steps)
     qcs = (
@@ -878,14 +870,41 @@ def block_stream_search_shared(
         .reshape(steps, FAN_S * Q_SHARE, d)
     )
 
-    q_pad = nq + 8  # trash row + sublane alignment for the VMEM plane
     plane = _block_stream_shared_call(
         qcs, table.vecs, table.norms,
-        qrow_fan, blk_fan, bias_fan, scl_fan,
-        q_pad=q_pad, t_fixed=t_fixed, t_cap=t_cap, metric=metric,
-        chunk=CHUNK, interpret=interpret,
+        blk_fan, scl_fan,
+        t_cap=t_cap, metric=metric, chunk=CHUNK, interpret=interpret,
+    )  # (steps, FAN_S*Q_SHARE, CHUNK), task-major rows
+
+    # Gather each (query, slot) pair's distance row back from the
+    # task-major plane. Sorted position i sits in task tid = (#task starts
+    # <= i) - 1 at in-task rank (rank % Q_SHARE); task tid is fan-major
+    # task (f = tid // steps, step tid % steps), so its plane row is
+    # step*FAN_S*Q_SHARE + f*Q_SHARE + s. Pairs of dropped tasks
+    # (tid >= t_cap) and invalid pairs read as +inf via the written mask —
+    # the same graceful-degradation contract as the old VMEM plane.
+    tid_pos = jnp.cumsum(newtask.astype(jnp.int32)) - 1
+    s_in = rank % Q_SHARE
+    written_s = (ks < nblocks) & (tid_pos >= 0) & (tid_pos < t_cap)
+    tidc = jnp.clip(tid_pos, 0, t_cap - 1)
+    row_s = (
+        (tidc % steps) * (FAN_S * Q_SHARE) + (tidc // steps) * Q_SHARE + s_in
     )
-    dist_cat = plane[: nq * t_fixed].reshape(nq, t_fixed * CHUNK)
+    inv = jnp.argsort(ordv, stable=True)  # pair id -> sorted position
+    dist_p = plane.reshape(-1, CHUNK)[row_s[inv]]  # (npairs, CHUNK)
+    dist_p = jnp.where(written_s[inv][:, None], dist_p, jnp.inf)
+
+    # Lane-constant bias (|q-c|^2 for l2, -q.c for ip), added after the
+    # gather-back: per (query, slot) from the slot's block cluster.
+    cid2d = table.blk_cid[jnp.where(valid2d, blk2d, 0)]
+    if metric == "l2":
+        diff = queries[:, None, :] - table.cent[cid2d]
+        bias2d = jnp.sum(diff * diff, axis=-1)  # (nq, t_fixed)
+    else:
+        bias2d = -jnp.sum(queries[:, None, :] * table.cent[cid2d], axis=-1)
+    dist_cat = (
+        dist_p.reshape(nq, t_fixed, CHUNK) + bias2d[:, :, None]
+    ).reshape(nq, t_fixed * CHUNK)
 
     if approx and dist_cat.shape[1] > max(512, 2 * k):
         dvals, ci = jax.lax.approx_min_k(dist_cat, k, recall_target=0.99)
