@@ -23,6 +23,7 @@ from __future__ import annotations
 import functools
 import logging
 import math
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -45,6 +46,11 @@ from ..utils.tracing import trace
 log = logging.getLogger("vector_indexer_tpu")
 
 _QUERY_TILE = 256  # queries per device tile in the search program
+
+# Route method='flat' through the fused Pallas sweep (flat_sweep.py) on
+# TPU. Off until the real-chip A/B lands (env override for measurement);
+# 'flat_fused' / 'dense_fused' stay available explicitly either way.
+_FUSED_FLAT_ON = os.environ.get("VITPU_FUSED_FLAT", "0") == "1"
 
 
 def _round_up(x: int, m: int) -> int:
@@ -422,6 +428,125 @@ def _flat_search_program(
     tiles = queries.reshape(nq_pad // q_tile, q_tile, d)
     dvals, rows = jax.lax.map(one_tile, tiles)
     return dvals.reshape(nq_pad, k), rows.reshape(nq_pad, k)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "q_tile", "w", "c_groups", "metric", "interpret"),
+)
+def _flat_search_fused_program(
+    queries,  # (nq_pad, d) f32, nq_pad % q_tile == 0, d % 128 == 0
+    vectors,  # (n_pad, d) f32
+    row_norms,  # (n_pad,) f32 — SENTINEL_NORM on gap/tail rows
+    *,
+    k: int,
+    q_tile: int,
+    w: int,
+    c_groups: int,
+    metric: str = "l2",
+    interpret: bool = False,
+):
+    """Flat search through the fused sweep + on-chip top-2-plane Pallas
+    kernel (ops/pallas/flat_sweep.py): the (nq, n) distance matrix never
+    reaches HBM — only a fixed 2*C*S-column accumulator plane does — so
+    neither the materialization traffic nor a wide-column ``top_k`` (TPU
+    selection cost is ~flat in width above ~2k columns, ~11 ms/kilobatch)
+    bounds the path. Distances stay exact f32 (HIGHEST in-kernel matmul;
+    the lane-constant q_sq is added after selection, which it commutes
+    with); the plane keeps the true nearest neighbor unconditionally and
+    loses ~0.5% of the top-100 tail in expectation (see the kernel
+    docstring's loss model)."""
+    from ..ops.pallas.flat_sweep import flat_sweep_topk_plane
+    from ..storage.layout import SENTINEL_THRESHOLD
+
+    q_sq = sq_norms(queries)
+    vals, rows = flat_sweep_topk_plane(
+        queries, vectors, row_norms,
+        metric=metric, w=w, c_groups=c_groups, q_tile=q_tile,
+        interpret=interpret,
+    )
+    dv, pos = topk_smallest(vals, k)
+    rsel = jnp.take_along_axis(rows, jnp.maximum(pos, 0), axis=1)
+    if metric == "l2":
+        dv = jnp.maximum(dv + q_sq[:, None], 0.0)
+    real = jnp.isfinite(dv) & (dv < SENTINEL_THRESHOLD) & (pos >= 0)
+    rsel = jnp.where(real, rsel, -1)
+    dv = jnp.where(real, dv, jnp.inf)
+    return dv, rsel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "q_tile", "w", "c_groups", "metric", "interpret"),
+)
+def _ivf_search_dense_fused_program(
+    queries,  # (nq_pad, d) f32, nq_pad % q_tile == 0, d % 128 == 0
+    centroids_ord,  # (kc, d) — centroid table REORDERED to layout-run order
+    c_sq_ord,  # (kc,)
+    vectors,  # (n_pad, d) cluster-permuted, runs ALIGN-aligned
+    row_norms,  # (n_pad,) — SENTINEL_NORM on gap/tail rows
+    run_starts_b,  # (kc,) int32 — run begin BLOCKS, ascending layout order
+    n_probe,  # () int32 — TRACED so one compile serves a whole nprobe sweep
+    *,
+    k: int,
+    q_tile: int,
+    w: int,
+    c_groups: int,
+    metric: str = "l2",
+    interpret: bool = False,
+):
+    """Masked dense path through the fused Pallas kernel: the same
+    gather-free block-mask construction as ``_ivf_search_dense_program``
+    (coarse threshold -> run-start deltas -> block prefix sum), but the
+    masked table sweep and the first selection stage run fused on-chip —
+    the (nq, n) distance matrix never reaches HBM and the epilogue
+    ``top_k`` runs on the fixed 2*C*S-column plane. The mask is applied
+    in-kernel BEFORE the windowed min (an unprobed row can never shadow a
+    probed one), expanded from block to row granularity by a 0/1 MXU
+    matmul (see the kernel module docstring). n_probe stays traced, so a
+    whole nprobe sweep shares one compile."""
+    from ..ops.pallas.flat_sweep import S as _S, flat_sweep_topk_plane
+    from ..storage.layout import ALIGN, SENTINEL_THRESHOLD
+
+    nq_pad, d = queries.shape
+    n_pad = vectors.shape[0]
+    nb = n_pad // ALIGN
+
+    q_sq = sq_norms(queries)
+    # ALWAYS L2 (assignment-consistent cell probing; see gather path).
+    dcoarse = _score(queries, centroids_ord, c_sq_ord, q_sq, "l2")
+    sorted_coarse = jnp.sort(dcoarse, axis=1)
+    thresh = jax.lax.dynamic_slice_in_dim(
+        sorted_coarse, jnp.maximum(n_probe - 1, 0), 1, axis=1
+    )
+    s_ord = (dcoarse <= thresh).astype(jnp.float32)  # (nq_pad, kc)
+    delta = s_ord - jnp.concatenate(
+        [jnp.zeros((nq_pad, 1), jnp.float32), s_ord[:, :-1]], axis=1
+    )
+    wall = jnp.zeros((nq_pad, nb), jnp.float32)
+    wall = wall.at[:, run_starts_b].add(delta)
+    mask_b = (jnp.cumsum(wall, axis=1) > 0.5).astype(jnp.float32)
+    # Pad the block mask to the kernel's grid width (tail lanes are also
+    # masked in-kernel by the row iota, so zero-padding is safe).
+    NB = _S * w
+    nj = -(-n_pad // NB)
+    mcols = nj * NB // ALIGN
+    if mcols > nb:
+        mask_b = jnp.pad(mask_b, ((0, 0), (0, mcols - nb)))
+
+    vals, rows = flat_sweep_topk_plane(
+        queries, vectors, row_norms, mask_b,
+        metric=metric, w=w, c_groups=c_groups, q_tile=q_tile,
+        interpret=interpret,
+    )
+    dv, pos = topk_smallest(vals, k)
+    rsel = jnp.take_along_axis(rows, jnp.maximum(pos, 0), axis=1)
+    if metric == "l2":
+        dv = jnp.maximum(dv + q_sq[:, None], 0.0)
+    real = jnp.isfinite(dv) & (dv < SENTINEL_THRESHOLD) & (pos >= 0)
+    rsel = jnp.where(real, rsel, -1)
+    dv = jnp.where(real, dv, jnp.inf)
+    return dv, rsel
 
 
 class IvfIndex:
@@ -932,7 +1057,37 @@ class IvfIndex:
             method = self.choose_method(nq, n_probe)
 
         centroids, c_sq = self._device_tables()
-        if method in ("flat", "flat_exact"):
+        if method in ("flat", "flat_exact", "flat_fused"):
+            approx = method != "flat_exact" and lay.n > 50_000
+            want_fused = method == "flat_fused" or (
+                method == "flat" and _FUSED_FLAT_ON
+            )
+            if (
+                approx
+                and want_fused
+                and d % 128 == 0
+                and jax.default_backend() != "cpu"
+            ):
+                # Fused Pallas sweep: same exact distances, selection via
+                # the on-chip top-2 accumulator plane + a narrow top_k
+                # (interpret mode is too slow to serve as the CPU path; the
+                # XLA program below remains the CPU/odd-d/over-VMEM
+                # fallback).
+                from ..ops.pallas.flat_sweep import plan_fused
+
+                plan = plan_fused(lay.vectors.shape[0], d, nq, k)
+                if plan is not None:
+                    w, q_tile, c_groups = plan
+                    return _flat_search_fused_program(
+                        pad_to(q_tile),
+                        lay.vectors,
+                        lay.row_norms,
+                        k=k,
+                        q_tile=q_tile,
+                        w=w,
+                        c_groups=c_groups,
+                        metric=metric,
+                    )
             q_tile = pick_q_tile(nq, lay.vectors.shape[0] * 4 // d, d)
             return _flat_search_program(
                 pad_to(q_tile),
@@ -940,9 +1095,34 @@ class IvfIndex:
                 lay.row_norms,
                 k=k,
                 q_tile=q_tile,
-                approx=(method == "flat" and lay.n > 50_000),
+                approx=approx,
                 metric=metric,
             )
+        if method == "dense_fused":
+            # Explicit fused masked-dense path (A/B surface; 'dense' below
+            # remains the XLA program until the fused path wins measured).
+            from ..ops.pallas.flat_sweep import plan_fused
+
+            plan = plan_fused(lay.vectors.shape[0], d, nq, k)
+            if plan is None or d % 128 or jax.default_backend() == "cpu":
+                method = "dense"
+            else:
+                w, q_tile, c_groups = plan
+                run_starts_b, centroids_ord, c_sq_ord = self._run_tables()
+                return _ivf_search_dense_fused_program(
+                    pad_to(q_tile),
+                    centroids_ord,
+                    c_sq_ord,
+                    lay.vectors,
+                    lay.row_norms,
+                    run_starts_b,
+                    jnp.int32(n_probe),
+                    k=k,
+                    q_tile=q_tile,
+                    w=w,
+                    c_groups=c_groups,
+                    metric=metric,
+                )
         if method in ("dense", "dense_exact"):
             run_starts_b, centroids_ord, c_sq_ord = self._run_tables()
             # Live per-query bytes: the (q_tile, n_pad) distance + mask planes.

@@ -12,6 +12,7 @@ single-chip path exactly.
 from .mesh import make_shard_mesh
 from .sharded import ShardedSearcher
 from .mesh2d import Sharded2DSearcher, make_mesh_2d
+from .multihost import MultiHostSearcher, make_mesh_hosts
 from .dp_kmeans import run_kmeans_lloyd_dp
 
 __all__ = [
@@ -19,5 +20,7 @@ __all__ = [
     "ShardedSearcher",
     "Sharded2DSearcher",
     "make_mesh_2d",
+    "MultiHostSearcher",
+    "make_mesh_hosts",
     "run_kmeans_lloyd_dp",
 ]

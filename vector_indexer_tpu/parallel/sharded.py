@@ -496,9 +496,13 @@ def _coarse_threshold(q, q_sq, centroids, c_sq, n_probe, probe_bound):
     )
 
 
-def _make_per_device(centroids, c_sq, n_probe, k, axis, n_dev, probe_bound):
-    """Per-device masked-dense search body shared by the 1-D and 2-D mesh
-    programs."""
+def _make_per_device(
+    centroids, c_sq, n_probe, k, axis, n_dev, probe_bound, merge_fn=None
+):
+    """Per-device masked-dense search body shared by the 1-D, 2-D and
+    multi-host mesh programs. ``merge_fn(dloc, rloc, nq)`` overrides the
+    final collective (default: flat ``_ici_merge`` over ``axis``) — the
+    multi-host program passes a hierarchical ICI-then-DCN merge."""
 
     def per_device(q, vecs, norms, cent_l, csq_l, rsb):
         vecs, norms = vecs[0], norms[0]
@@ -543,6 +547,8 @@ def _make_per_device(centroids, c_sq, n_probe, k, axis, n_dev, probe_bound):
         real = jnp.isfinite(dloc) & (dloc < SENTINEL_THRESHOLD)
         dloc = jnp.where(real, dloc, jnp.inf)
         rloc = jnp.where(real, rloc, -1)
+        if merge_fn is not None:
+            return merge_fn(dloc, rloc, nq)
         return _ici_merge(dloc, rloc, axis, n_dev, nq, k)
 
     return per_device
@@ -564,6 +570,25 @@ def _ici_merge(dloc, rloc, axis, n_dev, nq, k):
     rfin = jnp.where(jnp.isfinite(dfin), rfin, -1)
     dvfin = jnp.where(jnp.isfinite(dfin), dvfin, -1)
     return dfin, rfin, dvfin
+
+
+def _merge_carry_payload(dloc, rloc, pdev, axis, n_dev, nq, k):
+    """Like ``_ici_merge`` but the device-owner payload already exists
+    (second stage of a hierarchical merge: each participant carries the
+    flat owner ids its earlier merge resolved)."""
+    all_d = jax.lax.all_gather(dloc, axis)  # (n_dev, nq, k)
+    all_r = jax.lax.all_gather(rloc, axis)
+    all_p = jax.lax.all_gather(pdev, axis)
+    cat_d = jnp.moveaxis(all_d, 0, 1).reshape(nq, n_dev * k)
+    cat_r = jnp.moveaxis(all_r, 0, 1).reshape(nq, n_dev * k)
+    cat_p = jnp.moveaxis(all_p, 0, 1).reshape(nq, n_dev * k)
+    dfin, sel = topk_smallest(cat_d, k)
+    sel_safe = jnp.maximum(sel, 0)
+    rfin = jnp.where(sel >= 0, jnp.take_along_axis(cat_r, sel_safe, axis=1), -1)
+    pfin = jnp.where(sel >= 0, jnp.take_along_axis(cat_p, sel_safe, axis=1), -1)
+    rfin = jnp.where(jnp.isfinite(dfin), rfin, -1)
+    pfin = jnp.where(jnp.isfinite(dfin), pfin, -1)
+    return dfin, rfin, pfin
 
 
 @functools.partial(
