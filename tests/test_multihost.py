@@ -88,6 +88,30 @@ def test_multihost_spilled_index_dedups():
     assert (I[:, 0] == np.arange(24)).all()
 
 
+def test_multihost_stream_body_matches_dense(built):
+    """The block-stream body under the hierarchical merge returns the same
+    result sets as the masked-dense body (bf16 residual sweep + exact f32
+    re-rank -> identical ids, near-identical distances)."""
+    idx, data = built
+    mesh = make_mesh_hosts(2, 4)
+    mh_dense = MultiHostSearcher(idx, mesh, method="dense")
+    mh_stream = MultiHostSearcher(idx, mesh, method="stream")
+    q = data[:32] + 0.01
+    D1, I1 = mh_dense.search_batch(q, 10, 6)
+    D2, I2 = mh_stream.search_batch(q, 10, 6)
+    for a, b in zip(I1, I2):
+        assert set(a.tolist()) == set(b.tolist())
+    np.testing.assert_allclose(D1, D2, rtol=1e-3, atol=5e-4)
+
+
+def test_multihost_stream_full_probe_self_hit(built):
+    idx, data = built
+    mh = MultiHostSearcher(idx, make_mesh_hosts(4, 2), method="stream")
+    D, I = mh.search_batch(data[:16], k=5, n_probe=idx.num_clusters)
+    assert (I[:, 0] == np.arange(16)).all()
+    assert (D[:, 0] < 1e-3).all()
+
+
 def test_multihost_errors(built):
     idx, data = built
     mh = MultiHostSearcher(idx, make_mesh_hosts(2, 2))

@@ -34,10 +34,27 @@ from .sharded import (
     _dedup_host,
     _ici_merge,
     _make_per_device,
+    _make_per_device_stream,
     _merge_carry_payload,
     _round_up,
+    _stream_slots,
+    build_local_stream_tables,
     build_local_tables,
 )
+
+
+def _make_hier_merge(host_axis, shard_axis, H, S, k):
+    """Hierarchical merge closure for a per-device body: stage 1 fuses the
+    S chip-local top-ks over the intra-host ICI ring; stage 2 moves only
+    each host's fused list over DCN, carrying flat host-major owner ids."""
+
+    def hier_merge(dloc, rloc, nq):
+        d1, r1, dev1 = _ici_merge(dloc, rloc, shard_axis, S, nq, k)
+        my_host = jax.lax.axis_index(host_axis)
+        flat = jnp.where(dev1 >= 0, my_host * S + dev1, -1)
+        return _merge_carry_payload(d1, r1, flat, host_axis, H, nq, k)
+
+    return hier_merge
 
 
 def make_mesh_hosts(
@@ -79,19 +96,9 @@ def _multihost_search_program(
 
     H = mesh.shape[host_axis]
     S = mesh.shape[shard_axis]
-
-    def hier_merge(dloc, rloc, nq):
-        # Stage 1 — ICI: fuse the S chip-local top-ks inside each host.
-        d1, r1, dev1 = _ici_merge(dloc, rloc, shard_axis, S, nq, k)
-        # Stage 2 — DCN: each host contributes ONE fused list; owners are
-        # carried as flat host-major device ids.
-        my_host = jax.lax.axis_index(host_axis)
-        flat = jnp.where(dev1 >= 0, my_host * S + dev1, -1)
-        return _merge_carry_payload(d1, r1, flat, host_axis, H, nq, k)
-
     per_device = _make_per_device(
         centroids, c_sq, n_probe, k, shard_axis, S, probe_bound,
-        merge_fn=hier_merge,
+        merge_fn=_make_hier_merge(host_axis, shard_axis, H, S, k),
     )
     both = P((host_axis, shard_axis))
     fn = shard_map(
@@ -107,23 +114,91 @@ def _multihost_search_program(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "host_axis", "shard_axis", "k", "probe_bound", "t_fixed",
+        "q_tile", "chunk", "metric", "rerank", "interpret",
+    ),
+)
+def _multihost_stream_program(
+    mesh,
+    host_axis,
+    shard_axis,
+    queries,  # (nq_pad, d) replicated; nq_pad % q_tile == 0
+    centroids,
+    c_sq,
+    local_vecs,
+    local_norms,
+    local_cent,
+    local_csq,
+    svecs,  # stream-table arrays, host-major sharded over both axes
+    snorms,
+    sto_local,
+    sblk0,
+    slen,
+    blk_cid,
+    scales,
+    n_probe,  # () i32 traced
+    *,
+    k: int,
+    probe_bound: int,
+    t_fixed: int,
+    q_tile: int,
+    chunk: int,
+    metric: str,
+    rerank: bool,
+    interpret: bool,
+):
+    from jax import shard_map
+
+    H = mesh.shape[host_axis]
+    S = mesh.shape[shard_axis]
+    per_device = _make_per_device_stream(
+        centroids, c_sq, n_probe, k, shard_axis, S, probe_bound,
+        t_fixed, q_tile, chunk, metric, rerank, interpret,
+        merge_fn=_make_hier_merge(host_axis, shard_axis, H, S, k),
+    )
+    both = P((host_axis, shard_axis))
+    fn = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(),) + (both,) * 11,
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return fn(
+        queries, local_vecs, local_norms, local_cent, local_csq,
+        svecs, snorms, sto_local, sblk0, slen, blk_cid, scales,
+    )
+
+
 class MultiHostSearcher:
-    """Hierarchically-merged search over a (hosts, shards) mesh."""
+    """Hierarchically-merged search over a (hosts, shards) mesh.
+
+    ``method``: 'dense' (masked local sweep), 'stream' (probed-blocks
+    Pallas sweep of per-device stream tables) or 'auto' (the 1-D
+    searcher's local byte model)."""
 
     def __init__(self, index, mesh: Mesh, host_axis: str = "hosts",
-                 shard_axis: str = "shards"):
+                 shard_axis: str = "shards", method: str = "auto"):
+        if method not in ("auto", "dense", "stream"):
+            raise ValueError(f"unknown multihost search method: {method}")
         self.mesh = mesh
         self.host_axis = host_axis
         self.shard_axis = shard_axis
         self.index = index
+        self.method = method
         n_dev = mesh.shape[host_axis] * mesh.shape[shard_axis]
         self.n_dev = n_dev
 
         t = build_local_tables(index, n_dev)
+        self._host_tables = t
         self.shard_to_dev = t.shard_to_dev
         self.local_perm = t.local_perm
 
         both = NamedSharding(mesh, P((host_axis, shard_axis)))
+        self._both = both
         self.local_vecs = jax.device_put(t.local_vecs, both)
         self.local_norms = jax.device_put(t.local_norms, both)
         self.local_cent = jax.device_put(t.local_cent, both)
@@ -132,6 +207,37 @@ class MultiHostSearcher:
         repl = NamedSharding(mesh, P())
         self.centroids = jax.device_put(t.cents, repl)
         self.c_sq = jax.device_put(t.c_sq, repl)
+        self._stream = None  # built lazily on first stream call
+
+    def _stream_tables(self):
+        if self._stream is None:
+            st = build_local_stream_tables(
+                self._host_tables, self.index.stream_dtype
+            )
+            self._stream = {
+                k: (jax.device_put(v, self._both)
+                    if isinstance(v, np.ndarray) else v)
+                for k, v in st.items()
+            }
+        return self._stream
+
+    def _choose(self, nq: int, n_probe: int) -> str:
+        if self.method != "auto":
+            return self.method
+        from ..ops.pallas.block_stream import pick_chunk
+
+        d = self.index.dimension
+        itemsize = jnp.dtype(self.index.stream_dtype).itemsize
+        rows_local = self._host_tables.local_vecs.shape[1]
+        chunk = pick_chunk(
+            self._host_tables.local_lengths.reshape(-1), d, itemsize
+        )
+        t_fixed = _stream_slots(
+            self._host_tables.local_lengths, n_probe, chunk
+        )
+        dense_cost = rows_local * d * 4
+        stream_cost = int(t_fixed * chunk * d * itemsize * 1.5)
+        return "dense" if dense_cost <= stream_cost else "stream"
 
     def search_batch(
         self, queries: np.ndarray, k: int, n_probe: int
@@ -156,25 +262,73 @@ class MultiHostSearcher:
 
         from ..ops.gather import quantize_up
 
-        nq_pad = _round_up(nq, 8)
-        qp = np.zeros((nq_pad, d), np.float32)
-        qp[:nq] = queries
-        D, rows, devs = _multihost_search_program(
-            self.mesh,
-            self.host_axis,
-            self.shard_axis,
-            jnp.asarray(qp),
-            self.centroids,
-            self.c_sq,
-            self.local_vecs,
-            self.local_norms,
-            self.local_cent,
-            self.local_csq,
-            self.local_run_starts_b,
-            jnp.int32(n_probe),
-            k=kk,
-            probe_bound=min(quantize_up(max(n_probe, 1)), kc),
-        )
+        probe_bound = min(quantize_up(max(n_probe, 1)), kc)
+        method = self._choose(nq, n_probe)
+        if method == "stream":
+            from ..ops.pallas.block_stream import SMEM_TASK_CAP
+
+            st = self._stream_tables()
+            exactish = jnp.dtype(self.index.stream_dtype) == jnp.float32
+            t_fixed = _stream_slots(
+                self._host_tables.local_lengths, probe_bound, st["chunk"]
+            )
+            q_tile = max(
+                8, min(256, (SMEM_TASK_CAP // max(t_fixed, 1)) // 8 * 8)
+            )
+            q_tile = min(q_tile, _round_up(nq, 8))
+            nq_pad = _round_up(nq, q_tile)
+            qp = np.zeros((nq_pad, d), np.float32)
+            qp[:nq] = queries
+            D, rows, devs = _multihost_stream_program(
+                self.mesh,
+                self.host_axis,
+                self.shard_axis,
+                jnp.asarray(qp),
+                self.centroids,
+                self.c_sq,
+                self.local_vecs,
+                self.local_norms,
+                self.local_cent,
+                self.local_csq,
+                st["svecs"],
+                st["snorms"],
+                st["sto_local"],
+                st["sblk0"],
+                st["slen"],
+                st["blk_cid"],
+                st["scales"],
+                jnp.int32(n_probe),
+                k=kk,
+                probe_bound=probe_bound,
+                t_fixed=t_fixed,
+                q_tile=q_tile,
+                chunk=st["chunk"],
+                metric=self.index.metric
+                if self.index.metric != "cosine"
+                else "ip",
+                rerank=not exactish,
+                interpret=jax.default_backend() == "cpu",
+            )
+        else:
+            nq_pad = _round_up(nq, 8)
+            qp = np.zeros((nq_pad, d), np.float32)
+            qp[:nq] = queries
+            D, rows, devs = _multihost_search_program(
+                self.mesh,
+                self.host_axis,
+                self.shard_axis,
+                jnp.asarray(qp),
+                self.centroids,
+                self.c_sq,
+                self.local_vecs,
+                self.local_norms,
+                self.local_cent,
+                self.local_csq,
+                self.local_run_starts_b,
+                jnp.int32(n_probe),
+                k=kk,
+                probe_bound=probe_bound,
+            )
         D = np.asarray(D)[:nq]
         rows = np.asarray(rows)[:nq]
         devs = np.asarray(devs)[:nq]

@@ -630,11 +630,12 @@ def _sharded_search_program(
 
 def _make_per_device_stream(
     centroids, c_sq, n_probe, k, axis, n_dev, probe_bound, t_fixed, q_tile,
-    chunk, metric, rerank, interpret,
+    chunk, metric, rerank, interpret, merge_fn=None,
 ):
     """Per-device block-stream search body: probed-blocks-only Pallas sweep
     of the device-local stream table + exact f32 re-rank from the local
-    main table, then the ICI top-k merge."""
+    main table, then the ICI top-k merge (or ``merge_fn`` — the multi-host
+    hierarchical merge — when given)."""
     from ..ops.pallas.block_stream import StreamTable, block_stream_search
 
     def per_device(
@@ -705,6 +706,8 @@ def _make_per_device_stream(
         dloc, rloc = jax.lax.map(one_tile, tiles)
         dloc = dloc.reshape(nq_all, k)
         rloc = rloc.reshape(nq_all, k)
+        if merge_fn is not None:
+            return merge_fn(dloc, rloc, nq_all)
         return _ici_merge(dloc, rloc, axis, n_dev, nq_all, k)
 
     return per_device
