@@ -318,6 +318,9 @@ def test_pick_groups_bounds():
 def test_plan_fused_fits_vmem():
     from vector_indexer_tpu.ops.pallas.flat_sweep import plan_fused
 
+    # large k must fall back to XLA: plane capacity / tail-loss gate
+    assert plan_fused(100_000, 128, 1024, 1000) is None
+    assert plan_fused(100_000, 128, 1024, 100) is not None
     for n in (100_000, 1_000_000):
         for d in (128, 256, 512, 1536, 3072):
             plan = plan_fused(n, d, 1024, 100)

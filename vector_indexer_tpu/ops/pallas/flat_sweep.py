@@ -92,7 +92,14 @@ def pick_groups(n_rows: int, w: int, k: int) -> int:
 
 
 def plan_fused(n_rows: int, d: int, nq: int, k: int):
-    """(w, q_tile, c_groups) sized to VMEM, or None if no config fits.
+    """(w, q_tile, c_groups) sized to VMEM, or None if the fused path
+    should not be used for this operating point.
+
+    Quality gate: expected top-k tail loss = per-candidate window
+    collisions (k-1)*w/2n + lane-stream triple collisions
+    (k-1)(k-2)/2(C*S)^2 must stay within the approx contract (~1.5%,
+    matching the XLA path's recall_target=0.99), and the 2*C*S plane
+    must hold at least 2k candidates — large k falls back to XLA.
 
     Budget model (bytes, ~13 MB of the v5e's 16 MB VMEM): double-buffered
     x block 2*NB*d*4, query block q_tile*d*4, four resident accumulator
@@ -102,6 +109,12 @@ def plan_fused(n_rows: int, d: int, nq: int, k: int):
     while w > 4 and 2 * (S * w) * d * 4 > 6 << 20:
         w //= 2
     c = pick_groups(n_rows, w, k)
+    cs = c * S
+    loss = (k - 1) * w / (2.0 * max(n_rows, 1)) + (
+        (k - 1) * max(k - 2, 0) / (2.0 * cs * cs)
+    )
+    if k > cs or loss > 0.015:
+        return None
     for q_tile in (512, 256, 128, 64):
         nb = S * w
         need = (
