@@ -18,7 +18,6 @@ from vector_indexer_tpu.ops.pallas.flat_sweep import (
     flat_sweep_minreduce,
     flat_sweep_topk_plane,
     pick_groups,
-    pick_q_tile_fused,
     pick_window,
 )
 
@@ -339,10 +338,8 @@ def test_plan_fused_fits_vmem():
             assert w >= 4 and qt % 8 == 0 and 1 <= c <= 8
 
 
-def test_pick_window_and_q_tile_bounds():
+def test_pick_window_bounds():
     for n in (10_000, 100_000, 1_000_000, 30_000_000):
         for k in (1, 10, 100):
             w = pick_window(n, k)
             assert w in (8, 16, 32)
-            qt = pick_q_tile_fused(64, w)
-            assert qt % 8 == 0 and qt <= 512

@@ -71,13 +71,6 @@ def pick_window(n_rows: int, k: int) -> int:
     return w
 
 
-def pick_q_tile_fused(nq: int, w: int) -> int:
-    """Kernel query-tile: 512 keeps the (Q, NB) f32 distance transient at
-    <=4 MB through w=16; w=32 halves it for the same budget."""
-    qt = 512 if w <= 16 else 256
-    return min(qt, max(8, -(-nq // 8) * 8))
-
-
 def pick_groups(n_rows: int, w: int, k: int) -> int:
     """Accumulator group count C for ``flat_sweep_topk_plane``: the output
     plane is 2*C*S columns (top-2 per lane). C=8 (2048-column plane) keeps
