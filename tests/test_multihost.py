@@ -112,6 +112,30 @@ def test_multihost_stream_full_probe_self_hit(built):
     assert (D[:, 0] < 1e-3).all()
 
 
+def test_multihost_dense_fused_matches_dense():
+    """The fused Pallas local sweep also runs under the hierarchical
+    merge (large slice + d=128 so the plan gate accepts)."""
+    rng = np.random.default_rng(6)
+    n, d, k = 6000, 128, 10
+    centers = rng.normal(0, 6.0, size=(12, d)).astype(np.float32)
+    data = (centers[rng.integers(0, 12, n)]
+            + rng.normal(0, 0.4, (n, d))).astype(np.float32)
+    store = VectorStore(
+        external_ids=np.arange(n, dtype=np.uint64), vectors=data
+    )
+    idx = IvfIndex.fit(store, seed=42)
+    mesh = make_mesh_hosts(2, 1)
+    mh_dense = MultiHostSearcher(idx, mesh, method="dense")
+    mh_fused = MultiHostSearcher(idx, mesh, method="dense_fused")
+    q = data[:8] + 0.01
+    n_probe = 6
+    D1, I1 = mh_dense.search_batch(q, k, n_probe)
+    D2, I2 = mh_fused.search_batch(q, k, n_probe)
+    np.testing.assert_array_equal(I1[:, 0], I2[:, 0])
+    for a, b in zip(I1, I2):
+        assert len(set(a.tolist()) & set(b.tolist())) >= k - 2
+
+
 def test_multihost_errors(built):
     idx, data = built
     mh = MultiHostSearcher(idx, make_mesh_hosts(2, 2))

@@ -100,6 +100,44 @@ def test_sharded_stream_full_probe_self_hit(built):
     assert (D[:, 0] < 1e-3).all()
 
 
+def test_sharded_dense_fused_body_matches_dense():
+    """The fused Pallas local sweep under shard_map returns the same
+    leading results as the XLA masked-dense body (plane tail loss only);
+    d=128 and a large-enough local slice so plan_fused accepts."""
+    rng = np.random.default_rng(5)
+    n, d, k = 6000, 128, 10
+    centers = rng.normal(0, 6.0, size=(12, d)).astype(np.float32)
+    data = (centers[rng.integers(0, 12, n)]
+            + rng.normal(0, 0.4, (n, d))).astype(np.float32)
+    store = VectorStore(
+        external_ids=np.arange(n, dtype=np.uint64), vectors=data
+    )
+    idx = IvfIndex.fit(store, seed=42)
+    mesh = make_shard_mesh(2)
+    s_dense = ShardedSearcher(idx, mesh, method="dense")
+    s_fused = ShardedSearcher(idx, mesh, method="dense_fused")
+    from vector_indexer_tpu.ops.pallas.flat_sweep import plan_fused
+
+    rows_local = s_fused._host_tables.local_vecs.shape[1]
+    assert plan_fused(rows_local, d, 24, k) is not None  # gate accepts
+    q = data[:24] + 0.01
+    for n_probe in (4, idx.num_clusters):
+        D1, I1 = s_dense.search_batch(q, k, n_probe)
+        D2, I2 = s_fused.search_batch(q, k, n_probe)
+        np.testing.assert_array_equal(I1[:, 0], I2[:, 0])
+        for a, b, da, db in zip(I1, I2, D1, D2):
+            shared = set(a.tolist()) & set(b.tolist())
+            assert len(shared) >= k - 2
+            for r in shared:
+                ia, ib = list(a).index(r), list(b).index(r)
+                # q_sq is added after selection in the fused path, so the
+                # summation order differs: f32 cancellation noise on
+                # near-zero self-distances reaches a few 1e-3.
+                np.testing.assert_allclose(
+                    da[ia], db[ib], rtol=1e-3, atol=5e-3
+                )
+
+
 def test_sharded_spill_dedup(built):
     """Spilled index under sharding: the two copies of a vector may land on
     different devices; the merge must still never return duplicate ids."""

@@ -73,7 +73,8 @@ def make_mesh_hosts(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "host_axis", "shard_axis", "k", "probe_bound"),
+    static_argnames=("mesh", "host_axis", "shard_axis", "k", "probe_bound",
+                     "fused_plan", "interpret"),
 )
 def _multihost_search_program(
     mesh,
@@ -91,6 +92,8 @@ def _multihost_search_program(
     *,
     k: int,
     probe_bound: int,
+    fused_plan=None,  # (w, q_tile, c_groups) -> fused Pallas local sweep
+    interpret: bool = False,
 ):
     from jax import shard_map
 
@@ -99,6 +102,7 @@ def _multihost_search_program(
     per_device = _make_per_device(
         centroids, c_sq, n_probe, k, shard_axis, S, probe_bound,
         merge_fn=_make_hier_merge(host_axis, shard_axis, H, S, k),
+        fused_plan=fused_plan, interpret=interpret,
     )
     both = P((host_axis, shard_axis))
     fn = shard_map(
@@ -182,7 +186,7 @@ class MultiHostSearcher:
 
     def __init__(self, index, mesh: Mesh, host_axis: str = "hosts",
                  shard_axis: str = "shards", method: str = "auto"):
-        if method not in ("auto", "dense", "stream"):
+        if method not in ("auto", "dense", "dense_fused", "stream"):
             raise ValueError(f"unknown multihost search method: {method}")
         self.mesh = mesh
         self.host_axis = host_axis
@@ -310,7 +314,16 @@ class MultiHostSearcher:
                 interpret=jax.default_backend() == "cpu",
             )
         else:
-            nq_pad = _round_up(nq, 8)
+            fused_plan = None
+            q_align = 8
+            if method == "dense_fused" and d % 128 == 0:
+                from ..ops.pallas.flat_sweep import plan_fused
+
+                rows_local = self._host_tables.local_vecs.shape[1]
+                fused_plan = plan_fused(rows_local, d, nq, kk)
+                if fused_plan is not None:
+                    q_align = fused_plan[1]
+            nq_pad = _round_up(nq, q_align)
             qp = np.zeros((nq_pad, d), np.float32)
             qp[:nq] = queries
             D, rows, devs = _multihost_search_program(
@@ -328,6 +341,8 @@ class MultiHostSearcher:
                 jnp.int32(n_probe),
                 k=kk,
                 probe_bound=probe_bound,
+                fused_plan=fused_plan,
+                interpret=jax.default_backend() == "cpu",
             )
         D = np.asarray(D)[:nq]
         rows = np.asarray(rows)[:nq]

@@ -283,7 +283,7 @@ class ShardedSearcher:
 
     def __init__(self, index, mesh: Mesh, axis: str = "shards",
                  method: str = "auto"):
-        if method not in ("auto", "dense", "stream"):
+        if method not in ("auto", "dense", "dense_fused", "stream"):
             raise ValueError(f"unknown sharded search method: {method}")
         self.mesh = mesh
         self.axis = axis
@@ -438,8 +438,22 @@ class ShardedSearcher:
                 interpret=jax.default_backend() == "cpu",
             )
 
+        fused_plan = None
+        q_align = 8
+        if method == "dense_fused":
+            # Fused Pallas local sweep: same gate as the single-chip path
+            # (falls back to the XLA body when the plan rejects the point).
+            from ..ops.pallas.flat_sweep import plan_fused
+
+            d = self.index.dimension
+            rows_local = self._host_tables.local_vecs.shape[1]
+            if d % 128 == 0:
+                fused_plan = plan_fused(rows_local, d, len(queries), k)
+            if fused_plan is not None:
+                q_align = fused_plan[1]  # queries must tile the kernel grid
+
         nq = len(queries)
-        nq_pad = _round_up(nq, 8)
+        nq_pad = _round_up(nq, q_align)
         qp = np.zeros((nq_pad, queries.shape[1]), np.float32)
         qp[:nq] = queries
         return _sharded_search_program(
@@ -456,6 +470,8 @@ class ShardedSearcher:
             jnp.int32(n_probe),
             k=k,
             probe_bound=probe_bound,
+            fused_plan=fused_plan,
+            interpret=jax.default_backend() == "cpu",
         )
 
 
@@ -497,12 +513,17 @@ def _coarse_threshold(q, q_sq, centroids, c_sq, n_probe, probe_bound):
 
 
 def _make_per_device(
-    centroids, c_sq, n_probe, k, axis, n_dev, probe_bound, merge_fn=None
+    centroids, c_sq, n_probe, k, axis, n_dev, probe_bound, merge_fn=None,
+    fused_plan=None, interpret=False,
 ):
     """Per-device masked-dense search body shared by the 1-D, 2-D and
     multi-host mesh programs. ``merge_fn(dloc, rloc, nq)`` overrides the
     final collective (default: flat ``_ici_merge`` over ``axis``) — the
-    multi-host program passes a hierarchical ICI-then-DCN merge."""
+    multi-host program passes a hierarchical ICI-then-DCN merge.
+    ``fused_plan`` = (w, q_tile, c_groups) routes the local masked sweep
+    through the fused Pallas kernel (ops/pallas/flat_sweep.py) instead of
+    the XLA matmul + wide topk — the local slice has the same
+    selection-over-materialized-plane cost the single-chip path avoids."""
 
     def per_device(q, vecs, norms, cent_l, csq_l, rsb):
         vecs, norms = vecs[0], norms[0]
@@ -531,20 +552,42 @@ def _make_per_device(
             jnp.arange(nq)[:, None], jnp.broadcast_to(rsb[None, :], delta.shape)
         ].add(delta, mode="drop")
         mask_b = jnp.cumsum(wall, axis=1) > 0.5
-        mask = jnp.repeat(mask_b, ALIGN, axis=1)
 
-        dist = (
-            q_sq[:, None]
-            - 2.0
-            * jnp.dot(
-                q, vecs.T, precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
+        if fused_plan is not None:
+            from ..ops.pallas.flat_sweep import S as _S, flat_sweep_topk_plane
+
+            w, q_tile, c_groups = fused_plan
+            NB = _S * w
+            nj = -(-rows_local // NB)
+            mcols = nj * NB // ALIGN
+            mb = mask_b.astype(jnp.float32)
+            if mcols > nb:
+                mb = jnp.pad(mb, ((0, 0), (0, mcols - nb)))
+            vals, rows = flat_sweep_topk_plane(
+                q, vecs, norms, mb,
+                metric="l2", w=w, c_groups=c_groups, q_tile=q_tile,
+                interpret=interpret,
             )
-            + norms[None, :]
-        )
-        dist = jnp.where(mask, jnp.maximum(dist, 0.0), jnp.inf)
-        dloc, rloc = topk_smallest(dist, k)
-        real = jnp.isfinite(dloc) & (dloc < SENTINEL_THRESHOLD)
+            dloc, pos = topk_smallest(vals, k)
+            rloc = jnp.take_along_axis(rows, jnp.maximum(pos, 0), axis=1)
+            dloc = jnp.maximum(dloc + q_sq[:, None], 0.0)
+            real = jnp.isfinite(dloc) & (dloc < SENTINEL_THRESHOLD) & (
+                pos >= 0
+            )
+        else:
+            mask = jnp.repeat(mask_b, ALIGN, axis=1)
+            dist = (
+                q_sq[:, None]
+                - 2.0
+                * jnp.dot(
+                    q, vecs.T, precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
+                + norms[None, :]
+            )
+            dist = jnp.where(mask, jnp.maximum(dist, 0.0), jnp.inf)
+            dloc, rloc = topk_smallest(dist, k)
+            real = jnp.isfinite(dloc) & (dloc < SENTINEL_THRESHOLD)
         dloc = jnp.where(real, dloc, jnp.inf)
         rloc = jnp.where(real, rloc, -1)
         if merge_fn is not None:
@@ -592,7 +635,9 @@ def _merge_carry_payload(dloc, rloc, pdev, axis, n_dev, nq, k):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "axis", "k", "probe_bound")
+    jax.jit,
+    static_argnames=("mesh", "axis", "k", "probe_bound", "fused_plan",
+                     "interpret"),
 )
 def _sharded_search_program(
     mesh,
@@ -609,11 +654,14 @@ def _sharded_search_program(
     *,
     k: int,
     probe_bound: int,
+    fused_plan=None,  # (w, q_tile, c_groups) -> fused Pallas local sweep
+    interpret: bool = False,
 ):
     from jax import shard_map
 
     per_device = _make_per_device(
-        centroids, c_sq, n_probe, k, axis, mesh.shape[axis], probe_bound
+        centroids, c_sq, n_probe, k, axis, mesh.shape[axis], probe_bound,
+        fused_plan=fused_plan, interpret=interpret,
     )
     fn = shard_map(
         per_device,
