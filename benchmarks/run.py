@@ -51,9 +51,9 @@ def main() -> None:
         "--method",
         default="auto",
         choices=[
-            "auto", "dense", "dense_exact", "gather", "gather_dma",
-            "stream", "stream_exact", "stream_shared",
-            "stream_shared_exact", "flat", "flat_exact",
+            "auto", "dense", "dense_exact", "dense_fused", "gather",
+            "gather_dma", "stream", "stream_exact", "stream_shared",
+            "stream_shared_exact", "flat", "flat_exact", "flat_fused",
         ],
     )
     p.add_argument("--metric", default="l2", choices=["l2", "ip", "cosine"])
