@@ -30,8 +30,9 @@ def _mk(n, d, nq, seed=0):
     return x, q, norms
 
 
-def test_window_minima_match_oracle():
-    n, d, nq, w = 1000, 128, 16, 8
+@pytest.mark.parametrize("w", [8, 16, 32])
+def test_window_minima_match_oracle(w):
+    n, d, nq = 5000 if w > 8 else 1000, 128, 16
     NB = S * w
     x, q, norms = _mk(n, d, nq)
     vals, rows = flat_sweep_minreduce(
