@@ -106,6 +106,10 @@ def main() -> None:
     p.add_argument("--min-time", type=float, default=3.0)
     p.add_argument("--quick", action="store_true", help="tiny config smoke run")
     p.add_argument("--full", action="store_true", help="write full sweep report")
+    p.add_argument(
+        "--cpu", action="store_true",
+        help="debug: force the CPU backend (numbers meaningless; smoke only)",
+    )
     args = p.parse_args()
 
     if args.quick:
@@ -113,8 +117,45 @@ def main() -> None:
 
     import jax
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
     jax.config.update("jax_compilation_cache_dir", "/tmp/vix_jax_cache_bench")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    # Device-claim watchdog: the tunneled backend can hang indefinitely at
+    # claim time (observed: >2 h outage where even jax.devices() never
+    # returns). A hung bench leaves the driver with NO result line at all;
+    # a watchdog emits an explicit failure JSON instead, then force-exits
+    # (os._exit — the claim thread is stuck in native code and will not
+    # honor exceptions).
+    import os
+    import threading
+
+    claimed = threading.Event()
+
+    def _watchdog():
+        if not claimed.wait(timeout=900):
+            print(
+                json.dumps(
+                    {
+                        "metric": "qps@recall10>=0.95",
+                        "value": 0.0,
+                        "unit": "qps",
+                        "vs_baseline": 0.0,
+                        "error": "device claim timed out after 900s "
+                        "(backend unreachable)",
+                    }
+                ),
+                flush=True,
+            )
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    import numpy as _np_probe
+
+    _ = _np_probe.asarray(jax.numpy.ones((8, 8)).sum())  # forces the claim
+    claimed.set()
 
     from vector_indexer_tpu import bindings
     from vector_indexer_tpu.ops import brute_force_topk
