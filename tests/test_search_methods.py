@@ -51,6 +51,22 @@ def test_dense_self_hit(built):
     assert (D[:, 0] < 1e-3).all()
 
 
+def test_fused_methods_fall_back_on_cpu(built):
+    """'flat_fused'/'dense_fused' must degrade to their XLA twins on the
+    CPU backend (the Pallas kernel only runs compiled on TPU) — same
+    results, no error."""
+    idx, data = built
+    q = data[:32]
+    Dd, Id = _run(idx, q, "dense")
+    Df, If = _run(idx, q, "dense_fused")
+    np.testing.assert_array_equal(Id, If)
+    np.testing.assert_allclose(Dd, Df)
+    D1, I1 = _run(idx, q, "flat")
+    D2, I2 = _run(idx, q, "flat_fused")
+    np.testing.assert_array_equal(I1, I2)
+    np.testing.assert_allclose(D1, D2)
+
+
 def test_unknown_method_errors(built):
     idx, data = built
     with pytest.raises(ValueError, match="unknown search method"):
