@@ -155,6 +155,44 @@ def test_sharded_spill_dedup(built):
         assert (I[:, 0] == np.arange(24)).all(), method
 
 
+@pytest.mark.parametrize("metric", ["ip", "cosine"])
+def test_sharded_metric_parity(metric):
+    """The dense per-device body must rank by the index metric, not L2,
+    and cosine queries must be normalized — results match the single-chip
+    path on ip/cosine indexes."""
+    data, _, _ = make_gaussian_clusters(10, 120, 24, spread=0.5, separation=6.0)
+    data = data + 2.0  # break norm uniformity so ip != l2 ranking
+    store = VectorStore(
+        external_ids=np.arange(len(data), dtype=np.uint64), vectors=data
+    )
+    idx = IvfIndex.fit(store, seed=42, metric=metric)
+    searcher = ShardedSearcher(idx, make_shard_mesh(4), method="dense")
+    q = data[:24] * 1.7  # un-normalized queries exercise cosine handling
+    D1, I1 = idx.search_batch(q, k=8, n_probe=idx.num_clusters)
+    D2, I2 = searcher.search_batch(q, k=8, n_probe=idx.num_clusters)
+    np.testing.assert_allclose(D1, D2, rtol=1e-3, atol=5e-4)
+    for a, b in zip(I1, I2):
+        assert set(a.tolist()) == set(b.tolist())
+
+
+def test_multihost_metric_parity():
+    from vector_indexer_tpu.parallel import MultiHostSearcher, make_mesh_hosts
+
+    data, _, _ = make_gaussian_clusters(10, 120, 24, spread=0.5, separation=6.0)
+    data = data + 2.0
+    store = VectorStore(
+        external_ids=np.arange(len(data), dtype=np.uint64), vectors=data
+    )
+    idx = IvfIndex.fit(store, seed=42, metric="ip")
+    mh = MultiHostSearcher(idx, make_mesh_hosts(2, 2), method="dense")
+    q = data[:16]
+    D1, I1 = idx.search_batch(q, k=8, n_probe=idx.num_clusters)
+    D2, I2 = mh.search_batch(q, k=8, n_probe=idx.num_clusters)
+    np.testing.assert_allclose(D1, D2, rtol=1e-3, atol=5e-4)
+    for a, b in zip(I1, I2):
+        assert set(a.tolist()) == set(b.tolist())
+
+
 def test_sharded_construction_uses_host_mirror(built, monkeypatch):
     """Constructing searchers must not fetch the corpus-sized HBM table
     (minutes over the real tunnel): local tables come from the host

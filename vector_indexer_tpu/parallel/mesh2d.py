@@ -79,6 +79,9 @@ class Sharded2DSearcher:
             raise ValueError(
                 f"query dimension mismatch: expected {self.index.dimension}, got {d}"
             )
+        from .sharded import _fine_metric, _normalize_cosine
+
+        queries = _normalize_cosine(self.index, queries)
         kc = self.centroids.shape[0]
         n_probe = min(n_probe, kc)
         spill = getattr(self.index, "spill", 0)
@@ -110,6 +113,7 @@ class Sharded2DSearcher:
             jnp.int32(n_probe),
             k=kk,
             probe_bound=min(quantize_up(max(n_probe, 1)), kc),
+            metric=_fine_metric(self.index),
         )
         D = np.asarray(D)[:nq]
         rows = np.asarray(rows)[:nq]

@@ -32,10 +32,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .sharded import (
     _dedup_host,
+    _fine_metric,
     _ici_merge,
     _make_per_device,
     _make_per_device_stream,
     _merge_carry_payload,
+    _normalize_cosine,
     _round_up,
     _stream_slots,
     build_local_stream_tables,
@@ -74,7 +76,7 @@ def make_mesh_hosts(
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "host_axis", "shard_axis", "k", "probe_bound",
-                     "fused_plan", "interpret"),
+                     "fused_plan", "interpret", "metric"),
 )
 def _multihost_search_program(
     mesh,
@@ -94,6 +96,7 @@ def _multihost_search_program(
     probe_bound: int,
     fused_plan=None,  # (w, q_tile, c_groups) -> fused Pallas local sweep
     interpret: bool = False,
+    metric: str = "l2",
 ):
     from jax import shard_map
 
@@ -102,7 +105,7 @@ def _multihost_search_program(
     per_device = _make_per_device(
         centroids, c_sq, n_probe, k, shard_axis, S, probe_bound,
         merge_fn=_make_hier_merge(host_axis, shard_axis, H, S, k),
-        fused_plan=fused_plan, interpret=interpret,
+        fused_plan=fused_plan, interpret=interpret, metric=metric,
     )
     both = P((host_axis, shard_axis))
     fn = shard_map(
@@ -259,6 +262,7 @@ class MultiHostSearcher:
                 f"query dimension mismatch: expected "
                 f"{self.index.dimension}, got {d}"
             )
+        queries = _normalize_cosine(self.index, queries)
         kc = self.centroids.shape[0]
         n_probe = min(n_probe, kc)
         spill = getattr(self.index, "spill", 0)
@@ -343,6 +347,7 @@ class MultiHostSearcher:
                 probe_bound=probe_bound,
                 fused_plan=fused_plan,
                 interpret=jax.default_backend() == "cpu",
+                metric=_fine_metric(self.index),
             )
         D = np.asarray(D)[:nq]
         rows = np.asarray(rows)[:nq]

@@ -50,6 +50,19 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _fine_metric(index) -> str:
+    """Fine-ranking metric: cosine reduces to ip (inputs normalized —
+    payloads at build, queries by ``_normalize_cosine``)."""
+    return index.metric if index.metric != "cosine" else "ip"
+
+
+def _normalize_cosine(index, queries: np.ndarray) -> np.ndarray:
+    if index.metric != "cosine":
+        return queries
+    nrm = np.linalg.norm(queries, axis=1, keepdims=True)
+    return (queries / np.maximum(nrm, 1e-12)).astype(np.float32)
+
+
 @dataclasses.dataclass
 class LocalTables:
     """Host-side (numpy) per-device tables, ready for device_put under any
@@ -365,6 +378,7 @@ class ShardedSearcher:
             raise ValueError(
                 f"query dimension mismatch: expected {self.index.dimension}, got {d}"
             )
+        queries = _normalize_cosine(self.index, queries)
         kc = self.centroids.shape[0]
         n_probe = min(n_probe, kc)
         spill = getattr(self.index, "spill", 0)
@@ -472,6 +486,7 @@ class ShardedSearcher:
             probe_bound=probe_bound,
             fused_plan=fused_plan,
             interpret=jax.default_backend() == "cpu",
+            metric=_fine_metric(self.index),
         )
 
 
@@ -514,7 +529,7 @@ def _coarse_threshold(q, q_sq, centroids, c_sq, n_probe, probe_bound):
 
 def _make_per_device(
     centroids, c_sq, n_probe, k, axis, n_dev, probe_bound, merge_fn=None,
-    fused_plan=None, interpret=False,
+    fused_plan=None, interpret=False, metric="l2",
 ):
     """Per-device masked-dense search body shared by the 1-D, 2-D and
     multi-host mesh programs. ``merge_fn(dloc, rloc, nq)`` overrides the
@@ -523,7 +538,10 @@ def _make_per_device(
     ``fused_plan`` = (w, q_tile, c_groups) routes the local masked sweep
     through the fused Pallas kernel (ops/pallas/flat_sweep.py) instead of
     the XLA matmul + wide topk — the local slice has the same
-    selection-over-materialized-plane cost the single-chip path avoids."""
+    selection-over-materialized-plane cost the single-chip path avoids.
+    ``metric``: coarse probing is ALWAYS L2 (posting lists are built by L2
+    assignment — same invariant as the single-chip paths); only the fine
+    ranking uses 'l2' or 'ip' (cosine = ip over normalized inputs)."""
 
     def per_device(q, vecs, norms, cent_l, csq_l, rsb):
         vecs, norms = vecs[0], norms[0]
@@ -565,27 +583,31 @@ def _make_per_device(
                 mb = jnp.pad(mb, ((0, 0), (0, mcols - nb)))
             vals, rows = flat_sweep_topk_plane(
                 q, vecs, norms, mb,
-                metric="l2", w=w, c_groups=c_groups, q_tile=q_tile,
+                metric=metric, w=w, c_groups=c_groups, q_tile=q_tile,
                 interpret=interpret,
             )
             dloc, pos = topk_smallest(vals, k)
             rloc = jnp.take_along_axis(rows, jnp.maximum(pos, 0), axis=1)
-            dloc = jnp.maximum(dloc + q_sq[:, None], 0.0)
+            if metric == "l2":
+                dloc = jnp.maximum(dloc + q_sq[:, None], 0.0)
             real = jnp.isfinite(dloc) & (dloc < SENTINEL_THRESHOLD) & (
                 pos >= 0
             )
         else:
             mask = jnp.repeat(mask_b, ALIGN, axis=1)
-            dist = (
-                q_sq[:, None]
-                - 2.0
-                * jnp.dot(
-                    q, vecs.T, precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32,
-                )
-                + norms[None, :]
+            cross = jnp.dot(
+                q, vecs.T, precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
             )
-            dist = jnp.where(mask, jnp.maximum(dist, 0.0), jnp.inf)
+            if metric == "l2":
+                dist = jnp.maximum(
+                    q_sq[:, None] - 2.0 * cross + norms[None, :], 0.0
+                )
+            else:  # ip: smaller = better; sentinel rows keep their +1e30
+                dist = jnp.where(
+                    norms >= SENTINEL_THRESHOLD, norms, 0.0
+                )[None, :] - cross
+            dist = jnp.where(mask, dist, jnp.inf)
             dloc, rloc = topk_smallest(dist, k)
             real = jnp.isfinite(dloc) & (dloc < SENTINEL_THRESHOLD)
         dloc = jnp.where(real, dloc, jnp.inf)
@@ -637,7 +659,7 @@ def _merge_carry_payload(dloc, rloc, pdev, axis, n_dev, nq, k):
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "axis", "k", "probe_bound", "fused_plan",
-                     "interpret"),
+                     "interpret", "metric"),
 )
 def _sharded_search_program(
     mesh,
@@ -656,12 +678,13 @@ def _sharded_search_program(
     probe_bound: int,
     fused_plan=None,  # (w, q_tile, c_groups) -> fused Pallas local sweep
     interpret: bool = False,
+    metric: str = "l2",
 ):
     from jax import shard_map
 
     per_device = _make_per_device(
         centroids, c_sq, n_probe, k, axis, mesh.shape[axis], probe_bound,
-        fused_plan=fused_plan, interpret=interpret,
+        fused_plan=fused_plan, interpret=interpret, metric=metric,
     )
     fn = shard_map(
         per_device,
@@ -817,7 +840,8 @@ def _sharded_stream_program(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "q_axis", "shard_axis", "k", "probe_bound"),
+    static_argnames=("mesh", "q_axis", "shard_axis", "k", "probe_bound",
+                     "metric"),
 )
 def _sharded_search_program_2d(
     mesh,
@@ -835,6 +859,7 @@ def _sharded_search_program_2d(
     *,
     k: int,
     probe_bound: int,
+    metric: str = "l2",
 ):
     """Query-parallel x shard-parallel search: each (q, s) device handles its
     query slice against its shard slice; the top-k merge all_gather runs over
@@ -843,7 +868,7 @@ def _sharded_search_program_2d(
 
     per_device = _make_per_device(
         centroids, c_sq, n_probe, k, shard_axis, mesh.shape[shard_axis],
-        probe_bound,
+        probe_bound, metric=metric,
     )
     fn = shard_map(
         per_device,
