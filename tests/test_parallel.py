@@ -138,6 +138,29 @@ def test_sharded_dense_fused_body_matches_dense():
                 )
 
 
+def test_2d_dense_fused_matches_dense():
+    from vector_indexer_tpu.parallel import Sharded2DSearcher, make_mesh_2d
+
+    rng = np.random.default_rng(7)
+    n, d, k = 6000, 128, 10
+    centers = rng.normal(0, 6.0, size=(12, d)).astype(np.float32)
+    data = (centers[rng.integers(0, 12, n)]
+            + rng.normal(0, 0.4, (n, d))).astype(np.float32)
+    store = VectorStore(
+        external_ids=np.arange(n, dtype=np.uint64), vectors=data
+    )
+    idx = IvfIndex.fit(store, seed=42)
+    mesh = make_mesh_2d(2, 2)
+    s_dense = Sharded2DSearcher(idx, mesh, method="dense")
+    s_fused = Sharded2DSearcher(idx, mesh, method="dense_fused")
+    q = data[:16] + 0.01
+    D1, I1 = s_dense.search_batch(q, k, 6)
+    D2, I2 = s_fused.search_batch(q, k, 6)
+    np.testing.assert_array_equal(I1[:, 0], I2[:, 0])
+    for a, b in zip(I1, I2):
+        assert len(set(a.tolist()) & set(b.tolist())) >= k - 2
+
+
 def test_sharded_spill_dedup(built):
     """Spilled index under sharding: the two copies of a vector may land on
     different devices; the merge must still never return duplicate ids."""

@@ -42,15 +42,23 @@ def make_mesh_2d(
 
 
 class Sharded2DSearcher:
-    """Query x shard parallel search over a 2-D mesh."""
+    """Query x shard parallel search over a 2-D mesh.
+
+    ``method``: 'dense' (default; masked XLA sweep per device) or
+    'dense_fused' (fused Pallas local sweep, same plan/loss gate and XLA
+    fallback as the 1-D searcher)."""
 
     def __init__(self, index, mesh: Mesh, q_axis: str = "queries",
-                 shard_axis: str = "shards"):
+                 shard_axis: str = "shards", method: str = "dense"):
+        if method not in ("auto", "dense", "dense_fused"):
+            raise ValueError(f"unknown 2-D search method: {method}")
+        self.method = method
         self.mesh = mesh
         self.q_axis = q_axis
         self.shard_axis = shard_axis
         self.index = index
         t = build_local_tables(index, mesh.shape[shard_axis])
+        self._rows_local = t.local_vecs.shape[1]
 
         sh = NamedSharding(mesh, P(shard_axis))  # replicated over q_axis
         self.local_vecs = jax.device_put(t.local_vecs, sh)
@@ -87,7 +95,19 @@ class Sharded2DSearcher:
         spill = getattr(self.index, "spill", 0)
         kk = (1 + spill) * k
         nq_dev = self.mesh.shape[self.q_axis]
-        nq_pad = _round_up(nq, 8 * nq_dev)
+        fused_plan = None
+        q_align = 8
+        if self.method == "dense_fused" and d % 128 == 0:
+            from ..ops.pallas.flat_sweep import plan_fused
+
+            rows_local = self._rows_local
+            # Each device sees its nq/Q query slice.
+            fused_plan = plan_fused(
+                rows_local, d, max(1, nq // nq_dev), kk
+            )
+            if fused_plan is not None:
+                q_align = fused_plan[1]  # per-device slice tiles the grid
+        nq_pad = _round_up(nq, q_align * nq_dev)
         qp = np.zeros((nq_pad, d), np.float32)
         qp[:nq] = queries
 
@@ -114,6 +134,8 @@ class Sharded2DSearcher:
             k=kk,
             probe_bound=min(quantize_up(max(n_probe, 1)), kc),
             metric=_fine_metric(self.index),
+            fused_plan=fused_plan,
+            interpret=jax.default_backend() == "cpu",
         )
         D = np.asarray(D)[:nq]
         rows = np.asarray(rows)[:nq]

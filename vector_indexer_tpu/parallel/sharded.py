@@ -841,7 +841,7 @@ def _sharded_stream_program(
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "q_axis", "shard_axis", "k", "probe_bound",
-                     "metric"),
+                     "metric", "fused_plan", "interpret"),
 )
 def _sharded_search_program_2d(
     mesh,
@@ -860,6 +860,8 @@ def _sharded_search_program_2d(
     k: int,
     probe_bound: int,
     metric: str = "l2",
+    fused_plan=None,
+    interpret: bool = False,
 ):
     """Query-parallel x shard-parallel search: each (q, s) device handles its
     query slice against its shard slice; the top-k merge all_gather runs over
@@ -868,7 +870,8 @@ def _sharded_search_program_2d(
 
     per_device = _make_per_device(
         centroids, c_sq, n_probe, k, shard_axis, mesh.shape[shard_axis],
-        probe_bound, metric=metric,
+        probe_bound, metric=metric, fused_plan=fused_plan,
+        interpret=interpret,
     )
     fn = shard_map(
         per_device,
