@@ -121,6 +121,58 @@ def plan_fused(n_rows: int, d: int, nq: int, k: int):
     return None
 
 
+def _window_min_step(
+    refs, j, *, w, metric, masked, n_rows, prec
+):
+    """Shared per-grid-step body of both sweep kernels: distance matmul
+    (precision ``prec``), sentinel/tail/mask handling, then the w-way
+    strided windowed arg-min. Returns (step_v (Q, S), step_i (Q, S))
+    where step_i are global table row ids."""
+    NB = S * w
+    if masked:
+        q_ref, x_ref, n_ref, m_ref, e_ref = refs
+    else:
+        q_ref, x_ref, n_ref = refs
+    x = x_ref[:]  # (NB, d) f32 table rows
+    cross = jax.lax.dot_general(
+        q_ref[:], x, (((1,), (1,)), ((), ())),
+        precision=prec,
+        preferred_element_type=jnp.float32,
+    )  # (Q, NB) exact f32 (HIGHEST; HIGH = 3-pass bf16 A/B option)
+    nrm = n_ref[0, :]  # (NB,) f32; SENTINEL on gap/tail rows
+    if metric == "l2":
+        dist = nrm[None, :] - 2.0 * cross
+    else:  # ip: smaller = better = -q.x; sentinel rows penalized
+        dist = jnp.where(nrm >= 1e29, nrm, 0.0)[None, :] - cross
+    Q = dist.shape[0]
+    base = j * NB
+    if n_rows % NB:
+        # Tail grid step reads past the table: those lanes may hold
+        # garbage (even NaN) — force them out via the padded side of
+        # the where.
+        col = jax.lax.broadcasted_iota(jnp.int32, (Q, NB), 1)
+        dist = jnp.where(base + col < n_rows, dist, jnp.inf)
+    if masked:
+        # Row-level mask = block mask @ 0/1 expansion (exact; see the
+        # module docstring for why not a lane repeat).
+        m = jax.lax.dot_general(
+            m_ref[:].astype(jnp.bfloat16), e_ref[:],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Q, NB)
+        dist = jnp.where(m > 0.5, dist, jnp.inf)
+
+    best_v = dist[:, :S]
+    best_j = jnp.zeros((Q, S), jnp.int32)
+    for jj in range(1, w):
+        cand = dist[:, jj * S : (jj + 1) * S]
+        better = cand < best_v
+        best_v = jnp.where(better, cand, best_v)
+        best_j = jnp.where(better, jj, best_j)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Q, S), 1)
+    return best_v, base + best_j * S + lane
+
+
 def _acc_kernel_factory(
     d: int,
     w: int,
@@ -130,8 +182,6 @@ def _acc_kernel_factory(
     n_rows: int,
     precision: str = "highest",
 ):
-    NB = S * w
-    nj = -(-n_rows // NB)
     prec = (
         jax.lax.Precision.HIGHEST
         if precision == "highest"
@@ -139,10 +189,7 @@ def _acc_kernel_factory(
     )
 
     def kernel(*refs):
-        if masked:
-            q_ref, x_ref, n_ref, m_ref, e_ref, v1, i1, v2, i2 = refs
-        else:
-            q_ref, x_ref, n_ref, v1, i1, v2, i2 = refs
+        in_refs, (v1, i1, v2, i2) = refs[:-4], refs[-4:]
         j = pl.program_id(1)
 
         @pl.when(j == 0)
@@ -152,39 +199,10 @@ def _acc_kernel_factory(
             i1[:] = jnp.full(i1.shape, -1, jnp.int32)
             i2[:] = jnp.full(i2.shape, -1, jnp.int32)
 
-        x = x_ref[:]  # (NB, d) f32 table rows
-        cross = jax.lax.dot_general(
-            q_ref[:], x, (((1,), (1,)), ((), ())),
-            precision=prec,
-            preferred_element_type=jnp.float32,
-        )  # (Q, NB) exact f32 (HIGHEST; HIGH = 3-pass bf16 A/B option)
-        nrm = n_ref[0, :]  # (NB,) f32; SENTINEL on gap/tail rows
-        if metric == "l2":
-            dist = nrm[None, :] - 2.0 * cross
-        else:  # ip: smaller = better = -q.x; sentinel rows penalized
-            dist = jnp.where(nrm >= 1e29, nrm, 0.0)[None, :] - cross
-        Q = dist.shape[0]
-        base = j * NB
-        if n_rows % NB:
-            col = jax.lax.broadcasted_iota(jnp.int32, (Q, NB), 1)
-            dist = jnp.where(base + col < n_rows, dist, jnp.inf)
-        if masked:
-            m = jax.lax.dot_general(
-                m_ref[:].astype(jnp.bfloat16), e_ref[:],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (Q, NB)
-            dist = jnp.where(m > 0.5, dist, jnp.inf)
-
-        best_v = dist[:, :S]
-        best_j = jnp.zeros((Q, S), jnp.int32)
-        for jj in range(1, w):
-            cand = dist[:, jj * S : (jj + 1) * S]
-            better = cand < best_v
-            best_v = jnp.where(better, cand, best_v)
-            best_j = jnp.where(better, jj, best_j)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (Q, S), 1)
-        step_i = base + best_j * S + lane
+        best_v, step_i = _window_min_step(
+            in_refs, j, w=w, metric=metric, masked=masked, n_rows=n_rows,
+            prec=prec,
+        )
 
         # Top-2 insert into accumulator group j % C (aligned dynamic lane
         # slice): the step value displaces the lane's best or second-best;
@@ -317,55 +335,14 @@ def flat_sweep_topk_plane(
 
 
 def _kernel_factory(d: int, w: int, metric: str, masked: bool, n_rows: int):
-    NB = S * w
-
     def kernel(*refs):
-        if masked:
-            q_ref, x_ref, n_ref, m_ref, e_ref, out_v, out_i = refs
-        else:
-            q_ref, x_ref, n_ref, out_v, out_i = refs
-        j = pl.program_id(1)
-        x = x_ref[:]  # (NB, d) f32 table rows
-        cross = jax.lax.dot_general(
-            q_ref[:], x, (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )  # (Q, NB) exact f32
-        nrm = n_ref[0, :]  # (NB,) f32; SENTINEL on gap/tail rows
-        if metric == "l2":
-            # q_sq is lane-constant per query: added OUTSIDE, after the
-            # windowed min (it commutes with per-query selection).
-            dist = nrm[None, :] - 2.0 * cross
-        else:  # ip: smaller = better = -q.x; sentinel rows penalized
-            dist = jnp.where(nrm >= 1e29, nrm, 0.0)[None, :] - cross
-        Q = dist.shape[0]
-        base = j * NB
-        if n_rows % NB:
-            # Tail grid step reads past the table: those lanes may hold
-            # garbage (even NaN) — force them out via the padded side of
-            # the where.
-            col = jax.lax.broadcasted_iota(jnp.int32, (Q, NB), 1)
-            dist = jnp.where(base + col < n_rows, dist, jnp.inf)
-        if masked:
-            # Row-level mask = block mask @ 0/1 expansion (exact; see
-            # module docstring for why not a lane repeat).
-            m = jax.lax.dot_general(
-                m_ref[:].astype(jnp.bfloat16), e_ref[:],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (Q, NB)
-            dist = jnp.where(m > 0.5, dist, jnp.inf)
-
-        best_v = dist[:, :S]
-        best_j = jnp.zeros((Q, S), jnp.int32)
-        for jj in range(1, w):
-            cand = dist[:, jj * S : (jj + 1) * S]
-            better = cand < best_v
-            best_v = jnp.where(better, cand, best_v)
-            best_j = jnp.where(better, jj, best_j)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (Q, S), 1)
-        out_v[:] = best_v
-        out_i[:] = base + best_j * S + lane
+        in_refs, (out_v, out_i) = refs[:-2], refs[-2:]
+        # q_sq is lane-constant per query: added OUTSIDE, after the
+        # windowed min (it commutes with per-query selection).
+        out_v[:], out_i[:] = _window_min_step(
+            in_refs, pl.program_id(1), w=w, metric=metric, masked=masked,
+            n_rows=n_rows, prec=jax.lax.Precision.HIGHEST,
+        )
 
     return kernel
 
