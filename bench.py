@@ -225,6 +225,27 @@ def main() -> None:
         index, xq, xq_dev, gt, args.k, [], args.min_time, "flat",
         points=[("flat", index.nlist)],
     )
+    # Fused Pallas flat sweep (opt-in path): measured as its own operating
+    # point so the headline picks whichever flat implementation wins.
+    # Guarded — a kernel failure on this backend must not void the run.
+    try:
+        from vector_indexer_tpu.ops.pallas.flat_sweep import plan_fused
+
+        core = index._indexer.index
+        if (
+            jax.default_backend() != "cpu"
+            and args.d % 128 == 0
+            and plan_fused(
+                core.layout.vectors.shape[0], args.d, args.nq, args.k
+            )
+            is not None
+        ):
+            rows += _sweep(
+                index, xq, xq_dev, gt, args.k, [], args.min_time,
+                "flat_fused", points=[("flat_fused", index.nlist)],
+            )
+    except Exception as e:  # pragma: no cover - device-dependent
+        print(f"# flat_fused sweep failed: {e!r}", file=sys.stderr)
 
     # Headline: best qps over ALL operating points meeting the floor.
     at_floor = [r for r in rows if r.get("r@10", 0.0) >= RECALL_FLOOR]
