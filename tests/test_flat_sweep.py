@@ -339,6 +339,25 @@ def test_topk_plane_loss_model_holds_at_scale():
     assert np.mean(loss_10) <= 0.05  # top-10 effectively lossless
 
 
+def test_topk_plane_more_groups_than_steps():
+    """C > nj leaves whole accumulator groups untouched: they must come
+    back as (+inf, -1) slots and never pollute results."""
+    n, d, nq, w, C = 1500, 128, 8, 8, 8  # nj=2 < C=8
+    x, q, norms = _mk(n, d, nq, seed=10)
+    vals, rows = flat_sweep_topk_plane(
+        jnp.asarray(q), jnp.asarray(x), jnp.asarray(norms),
+        metric="l2", w=w, c_groups=C, q_tile=8, interpret=True,
+    )
+    vals, rows = np.asarray(vals), np.asarray(rows)
+    fin = np.isfinite(vals)
+    assert (rows[~fin] == -1).all()
+    # only 2 groups (x2 for top-2) can hold data; the rest stay empty
+    assert fin.sum(axis=1).max() <= 4 * S
+    dist = norms[None, :] - 2.0 * q @ x.T
+    for i in range(nq):
+        assert dist[i].argmin() in rows[i][fin[i]]
+
+
 def test_pick_groups_bounds():
     for n in (1000, 100_000, 4_000_000):
         for w in (8, 16, 32):
