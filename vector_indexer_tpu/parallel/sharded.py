@@ -44,6 +44,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops.distance import sq_norms
 from ..ops.topk import topk_smallest
 from ..storage.layout import ALIGN, SENTINEL_NORM, SENTINEL_THRESHOLD
+from ..utils.tracing import trace
 
 
 def _round_up(x: int, m: int) -> int:
@@ -87,6 +88,11 @@ def build_local_tables(index, n_dev: int) -> LocalTables:
     payload rows are sliced from ``index._host_data`` (internal-id order,
     maintained by fit and load) so construction never fetches the
     corpus-sized HBM table back to host."""
+    with trace("sharded.build_local_tables", n_dev=n_dev):
+        return _build_local_tables(index, n_dev)
+
+
+def _build_local_tables(index, n_dev: int) -> LocalTables:
     lay = index.layout
     if lay is None:
         raise RuntimeError("index has no posting layout")
@@ -183,6 +189,15 @@ def build_local_tables(index, n_dev: int) -> LocalTables:
 
 
 def build_local_stream_tables(tables: LocalTables, dtype) -> dict:
+    with trace(
+        "sharded.build_stream_tables",
+        n_dev=tables.local_vecs.shape[0],
+        dtype=str(dtype),
+    ):
+        return _build_local_stream_tables(tables, dtype)
+
+
+def _build_local_stream_tables(tables: LocalTables, dtype) -> dict:
     """Per-device CHUNK-aligned RESIDUAL stream tables (host-side numpy),
     the multi-chip twin of ops.pallas.block_stream.build_stream_table.
 
