@@ -138,6 +138,23 @@ def test_sharded_dense_fused_body_matches_dense():
                 )
 
 
+def test_2d_stream_body_matches_dense(built):
+    """The block-stream body on the 2-D mesh (queries x shards) returns
+    the same result sets as the 2-D dense body."""
+    from vector_indexer_tpu.parallel import Sharded2DSearcher, make_mesh_2d
+
+    idx, data = built
+    mesh = make_mesh_2d(2, 4)
+    s_dense = Sharded2DSearcher(idx, mesh, method="dense")
+    s_stream = Sharded2DSearcher(idx, mesh, method="stream")
+    q = data[:32] + 0.01
+    D1, I1 = s_dense.search_batch(q, 10, 6)
+    D2, I2 = s_stream.search_batch(q, 10, 6)
+    for a, b in zip(I1, I2):
+        assert set(a.tolist()) == set(b.tolist())
+    np.testing.assert_allclose(D1, D2, rtol=1e-3, atol=5e-4)
+
+
 def test_2d_dense_fused_matches_dense():
     from vector_indexer_tpu.parallel import Sharded2DSearcher, make_mesh_2d
 

@@ -906,3 +906,62 @@ def _sharded_search_program_2d(
         queries, local_vecs, local_norms, local_cent, local_csq,
         local_run_starts_b,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "q_axis", "shard_axis", "k", "probe_bound", "t_fixed",
+        "q_tile", "chunk", "metric", "rerank", "interpret",
+    ),
+)
+def _sharded_stream_program_2d(
+    mesh,
+    q_axis,
+    shard_axis,
+    queries,  # (nq_pad, d) SHARDED over q_axis; per-device slice % q_tile == 0
+    centroids,
+    c_sq,
+    local_vecs,
+    local_norms,
+    local_cent,
+    local_csq,
+    svecs,  # stream-table arrays, sharded over shard_axis
+    snorms,
+    sto_local,
+    sblk0,
+    slen,
+    blk_cid,
+    scales,
+    n_probe,  # () i32 traced
+    *,
+    k: int,
+    probe_bound: int,
+    t_fixed: int,
+    q_tile: int,
+    chunk: int,
+    metric: str,
+    rerank: bool,
+    interpret: bool,
+):
+    """Query-parallel x shard-parallel block-stream search: the same
+    per-device probed-blocks body as the 1-D stream program, on each
+    device's (query slice, shard slice) pair; the merge all_gather rides
+    the shard axis only."""
+    from jax import shard_map
+
+    per_device = _make_per_device_stream(
+        centroids, c_sq, n_probe, k, shard_axis, mesh.shape[shard_axis],
+        probe_bound, t_fixed, q_tile, chunk, metric, rerank, interpret,
+    )
+    fn = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(q_axis),) + (P(shard_axis),) * 11,
+        out_specs=(P(q_axis), P(q_axis), P(q_axis)),
+        check_vma=False,
+    )
+    return fn(
+        queries, local_vecs, local_norms, local_cent, local_csq,
+        svecs, snorms, sto_local, sblk0, slen, blk_cid, scales,
+    )
