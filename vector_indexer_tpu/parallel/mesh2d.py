@@ -117,9 +117,15 @@ class Sharded2DSearcher:
         import jax.numpy as jnp
 
         from ..ops.gather import quantize_up
+        from .sharded import choose_local_body
 
         probe_bound = min(quantize_up(max(n_probe, 1)), kc)
-        if self.method == "stream":
+        method = self.method
+        if method == "auto":
+            method = choose_local_body(
+                self.index, self._host_tables, n_probe
+            )
+        if method == "stream":
             from ..ops.pallas.block_stream import SMEM_TASK_CAP
             from .sharded import (
                 _fine_metric as _fm,
@@ -186,7 +192,7 @@ class Sharded2DSearcher:
 
         fused_plan = None
         q_align = 8
-        if self.method == "dense_fused" and d % 128 == 0:
+        if method == "dense_fused" and d % 128 == 0:
             from ..ops.pallas.flat_sweep import plan_fused
 
             rows_local = self._rows_local

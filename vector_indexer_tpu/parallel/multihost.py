@@ -42,6 +42,7 @@ from .sharded import (
     _stream_slots,
     build_local_stream_tables,
     build_local_tables,
+    choose_local_body,
 )
 
 
@@ -231,20 +232,7 @@ class MultiHostSearcher:
     def _choose(self, nq: int, n_probe: int) -> str:
         if self.method != "auto":
             return self.method
-        from ..ops.pallas.block_stream import pick_chunk
-
-        d = self.index.dimension
-        itemsize = jnp.dtype(self.index.stream_dtype).itemsize
-        rows_local = self._host_tables.local_vecs.shape[1]
-        chunk = pick_chunk(
-            self._host_tables.local_lengths.reshape(-1), d, itemsize
-        )
-        t_fixed = _stream_slots(
-            self._host_tables.local_lengths, n_probe, chunk
-        )
-        dense_cost = rows_local * d * 4
-        stream_cost = int(t_fixed * chunk * d * itemsize * 1.5)
-        return "dense" if dense_cost <= stream_cost else "stream"
+        return choose_local_body(self.index, self._host_tables, n_probe)
 
     def search_batch(
         self, queries: np.ndarray, k: int, n_probe: int

@@ -57,6 +57,21 @@ def _fine_metric(index) -> str:
     return index.metric if index.metric != "cosine" else "ip"
 
 
+def choose_local_body(index, host_tables, n_probe: int) -> str:
+    """Local-slice twin of IvfIndex.choose_method's dense/stream byte
+    model (same constants), shared by every mesh searcher's 'auto'."""
+    from ..ops.pallas.block_stream import pick_chunk
+
+    d = index.dimension
+    itemsize = jnp.dtype(index.stream_dtype).itemsize
+    rows_local = host_tables.local_vecs.shape[1]
+    chunk = pick_chunk(host_tables.local_lengths.reshape(-1), d, itemsize)
+    t_fixed = _stream_slots(host_tables.local_lengths, n_probe, chunk)
+    dense_cost = rows_local * d * 4
+    stream_cost = int(t_fixed * chunk * d * itemsize * 1.5)
+    return "dense" if dense_cost <= stream_cost else "stream"
+
+
 def _normalize_cosine(index, queries: np.ndarray) -> np.ndarray:
     if index.metric != "cosine":
         return queries
@@ -354,24 +369,11 @@ class ShardedSearcher:
         return self._stream
 
     def _choose(self, nq: int, n_probe: int) -> str:
-        """Local-slice twin of IvfIndex.choose_method's dense/stream byte
-        model (same constants; shared-kernel variant not offered here)."""
+        """'auto' -> the shared local dense/stream byte model
+        (``choose_local_body``; shared-kernel variant not offered here)."""
         if self.method != "auto":
             return self.method
-        from ..ops.pallas.block_stream import pick_chunk
-
-        d = self.index.dimension
-        itemsize = jnp.dtype(self.index.stream_dtype).itemsize
-        rows_local = self._host_tables.local_vecs.shape[1]
-        chunk = pick_chunk(
-            self._host_tables.local_lengths.reshape(-1), d, itemsize
-        )
-        t_fixed = _stream_slots(
-            self._host_tables.local_lengths, n_probe, chunk
-        )
-        dense_cost = rows_local * d * 4
-        stream_cost = int(t_fixed * chunk * d * itemsize * 1.5)
-        return "dense" if dense_cost <= stream_cost else "stream"
+        return choose_local_body(self.index, self._host_tables, n_probe)
 
     # -- search ---------------------------------------------------------
 
