@@ -77,6 +77,14 @@ def work_accounting(core, xq: np.ndarray, n_probe: int, method: str) -> dict:
     table_rows = lay.vectors.shape[0]
     if method.startswith(("flat", "dense")):
         q_tile = pick_q_tile(nq, table_rows * 4 // d, d)
+        if method.endswith("_fused"):
+            # The fused Pallas sweep amortizes over ITS plan's query tile
+            # (headline k=100 operating point assumed for the plan).
+            from vector_indexer_tpu.ops.pallas.flat_sweep import plan_fused
+
+            plan = plan_fused(table_rows, d, nq, 100)
+            if plan is not None:
+                q_tile = plan[1]
         bytes_q = table_rows * d * 4 / q_tile  # full-table sweep per tile
     elif method.startswith("stream"):
         from vector_indexer_tpu.ops.pallas.block_stream import (
