@@ -225,27 +225,17 @@ def main() -> None:
         index, xq, xq_dev, gt, args.k, [], args.min_time, "flat",
         points=[("flat", index.nlist)],
     )
-    # Fused Pallas flat sweep (opt-in path): measured as its own operating
-    # point so the headline picks whichever flat implementation wins.
-    # Guarded — a kernel failure on this backend must not void the run.
+    # XLA-flat baseline point: 'flat' routes through the fused Pallas
+    # sweep by default since the 2026-08-18 A/B (284.7k vs 70.9k qps);
+    # keeping the pinned XLA program in the sweep preserves the A/B in
+    # every future artifact.
     try:
-        from vector_indexer_tpu.ops.pallas.flat_sweep import plan_fused
-
-        core = index._indexer.index
-        if (
-            jax.default_backend() != "cpu"
-            and args.d % 128 == 0
-            and plan_fused(
-                core.layout.vectors.shape[0], args.d, args.nq, args.k
-            )
-            is not None
-        ):
-            rows += _sweep(
-                index, xq, xq_dev, gt, args.k, [], args.min_time,
-                "flat_fused", points=[("flat_fused", index.nlist)],
-            )
+        rows += _sweep(
+            index, xq, xq_dev, gt, args.k, [], args.min_time,
+            "flat_xla", points=[("flat_xla", index.nlist)],
+        )
     except Exception as e:  # pragma: no cover - device-dependent
-        print(f"# flat_fused sweep failed: {e!r}", file=sys.stderr)
+        print(f"# flat_xla sweep failed: {e!r}", file=sys.stderr)
 
     # Headline: best qps over ALL operating points meeting the floor.
     at_floor = [r for r in rows if r.get("r@10", 0.0) >= RECALL_FLOOR]

@@ -76,10 +76,23 @@ def work_accounting(core, xq: np.ndarray, n_probe: int, method: str) -> dict:
 
     table_rows = lay.vectors.shape[0]
     if method.startswith(("flat", "dense")):
+        import jax
+
+        from vector_indexer_tpu.index.ivf import _FUSED_SWEEP_ON
+
         q_tile = pick_q_tile(nq, table_rows * 4 // d, d)
-        if method.endswith("_fused"):
-            # The fused Pallas sweep amortizes over ITS plan's query tile
-            # (headline k=100 operating point assumed for the plan).
+        # Mirror the dispatch: 'flat'/'dense' route through the fused
+        # sweep by default on TPU, which amortizes over ITS plan's query
+        # tile (headline k=100 operating point assumed for the plan);
+        # '*_xla' pins the XLA program.
+        fused = method.endswith("_fused") or (
+            method in ("flat", "dense")
+            and _FUSED_SWEEP_ON
+            and lay.n > 50_000
+            and d % 128 == 0
+            and jax.default_backend() != "cpu"
+        )
+        if fused:
             from vector_indexer_tpu.ops.pallas.flat_sweep import plan_fused
 
             plan = plan_fused(table_rows, d, nq, 100)
@@ -98,6 +111,18 @@ def work_accounting(core, xq: np.ndarray, n_probe: int, method: str) -> dict:
         # Probed blocks only (per-query kernel model; the shared block-major
         # variant fetches each block once per tile, so this upper-bounds it).
         bytes_q = t_fixed * chunk * d * itemsize
+    elif method == "staged":
+        # Host-resident serving: the h2d cost is the batch-wide UNION of
+        # probed cells' aligned blocks (index/staged.py), amortized over
+        # the batch — the analogue of the reference's per-query disk reads.
+        from vector_indexer_tpu.storage.layout import ALIGN
+
+        thresh = np.take_along_axis(
+            np.sort(dc, axis=1), np.full((nq, 1), n_probe - 1), axis=1
+        )
+        union = np.flatnonzero((dc <= thresh).any(axis=0))
+        alens = ((lengths[union] + ALIGN - 1) // ALIGN) * ALIGN
+        bytes_q = float(alens.sum()) * (d * 4 + 4) / nq
     else:  # gather paths: per-query candidate row gather
         bytes_q = core._budget_for(n_probe) * d * 4
     return dict(method=method, cand_per_q=cand, mb_per_q=bytes_q / 2**20)

@@ -115,8 +115,13 @@ class VectorIndexer:
     # ------------------------------------------------------------------
 
     @classmethod
-    def load(cls, cfg: VectorIndexerConfig) -> "VectorIndexer":
-        index = load_index_from(cfg.index_dir, cfg.shards_dir)
+    def load(
+        cls, cfg: VectorIndexerConfig, resident: str = "device"
+    ) -> "VectorIndexer":
+        """``resident='host'`` loads the posting layout into host RAM and
+        serves via per-batch probed-cell staging (unbounded corpus mode —
+        capacity bounded by host RAM instead of HBM)."""
+        index = load_index_from(cfg.index_dir, cfg.shards_dir, resident=resident)
         return cls(cfg, _index=index)
 
     def build_from_records(self, records: List[VectorRecord]) -> "VectorIndexer":

@@ -152,10 +152,14 @@ def build(
     return VectorIndex(indexer)
 
 
-def load(index_dir: str, shards_dir: str, dim: int) -> VectorIndex:
+def load(
+    index_dir: str, shards_dir: str, dim: int, resident: str = "device"
+) -> VectorIndex:
+    """``resident='host'`` serves an unbounded corpus from host RAM via
+    per-batch probed-cell staging (see IvfIndex.to_host_resident)."""
     cfg = (
         VectorIndexerConfig(dim)
         .with_index_dir(index_dir)
         .with_shards_dir(shards_dir)
     )
-    return VectorIndex(VectorIndexer.load(cfg))
+    return VectorIndex(VectorIndexer.load(cfg, resident=resident))

@@ -47,10 +47,22 @@ log = logging.getLogger("vector_indexer_tpu")
 
 _QUERY_TILE = 256  # queries per device tile in the search program
 
-# Route method='flat' through the fused Pallas sweep (flat_sweep.py) on
-# TPU. Off until the real-chip A/B lands (env override for measurement);
-# 'flat_fused' / 'dense_fused' stay available explicitly either way.
-_FUSED_FLAT_ON = os.environ.get("VITPU_FUSED_FLAT", "0") == "1"
+# Route 'flat' and 'dense' through the fused Pallas sweep (flat_sweep.py)
+# on TPU: the real-chip A/Bs (2026-08-18, bench_results/r3_tpu100k)
+# measured flat_fused 284,666 qps vs 70,907 for the XLA flat program and
+# dense_fused 201,529 vs 138,420 for the XLA dense program, same-window
+# (n=100k d=128 k=100, R@10=1.0 / exact distances in both pairs) — the
+# fused on-chip selection removes the ~11 ms/kilobatch materialized-plane
+# top-k that dominated the XLA paths. VITPU_FUSED_SWEEP=0 (legacy alias
+# VITPU_FUSED_FLAT) restores the XLA programs; CPU / odd-d / over-VMEM
+# shapes fall back automatically either way, and 'flat_xla'/'dense_xla'
+# pin the XLA programs explicitly for A/B baselines.
+_FUSED_SWEEP_ON = (
+    os.environ.get(
+        "VITPU_FUSED_SWEEP", os.environ.get("VITPU_FUSED_FLAT", "1")
+    )
+    == "1"
+)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -388,6 +400,36 @@ def _dedup_topk(dvals, rows, perm_dev, *, k: int):
     return dv, rsel
 
 
+def _host_dedup_topk(exact, internal, k: int):
+    """Host-side twin of _dedup_topk: sort a (nq, kk) candidate list by
+    distance, drop duplicate internal ids (first occurrence = smallest
+    distance), compact the first k survivors left, pad +inf/-1 — fully
+    vectorized (a per-row python loop cost ~0.5 s/kilobatch). Shared by
+    the offloaded re-rank and the host-resident staged path."""
+    exact = np.where(internal >= 0, exact, np.inf)
+    order = np.argsort(exact, axis=1, kind="stable")
+    ids_o = np.take_along_axis(internal, order, axis=1)
+    d_o = np.take_along_axis(exact, order, axis=1)
+    oi = np.argsort(ids_o, axis=1, kind="stable")
+    ids_s = np.take_along_axis(ids_o, oi, axis=1)
+    dup_s = np.zeros_like(ids_s, bool)
+    dup_s[:, 1:] = (ids_s[:, 1:] == ids_s[:, :-1]) & (ids_s[:, 1:] >= 0)
+    dup = np.empty_like(dup_s)
+    np.put_along_axis(dup, oi, dup_s, axis=1)
+    keep = (~dup) & (ids_o >= 0) & np.isfinite(d_o)
+    kw = min(k, exact.shape[1])
+    sel = np.argsort(~keep, axis=1, kind="stable")[:, :kw]
+    taken = np.take_along_axis(keep, sel, axis=1)
+    D = np.where(taken, np.take_along_axis(d_o, sel, axis=1), np.inf).astype(
+        np.float32
+    )
+    I = np.where(taken, np.take_along_axis(ids_o, sel, axis=1), -1)
+    if kw < k:
+        D = np.pad(D, ((0, 0), (0, k - kw)), constant_values=np.inf)
+        I = np.pad(I, ((0, 0), (0, k - kw)), constant_values=-1)
+    return D, I.astype(np.int64)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "q_tile", "approx", "metric"))
 def _flat_search_program(
     queries,  # (nq_pad, d)
@@ -567,6 +609,9 @@ class IvfIndex:
         # Larger-than-HBM mode (offload_main_table): f32 table freed, int8
         # stream sweep + host re-rank.
         self.offloaded = False
+        # Unbounded-corpus mode (to_host_resident / load resident='host'):
+        # posting layout lives in host RAM; search stages probed cells only.
+        self.host_resident = False
         # Host-side record columns, in *internal id* order.
         self.external_ids = np.zeros(0, np.uint64)
         self.timestamps = np.zeros(0, np.uint64)
@@ -822,6 +867,48 @@ class IvfIndex:
             st.vecs.size * st.vecs.dtype.itemsize >> 20,
         )
 
+    def to_host_resident(self) -> None:
+        """Unbounded-corpus serving mode: move the posting layout to HOST
+        memory and free its device residency entirely; searches stage only
+        the probed cells' posting blocks per batch (index/staged.py — the
+        TPU analogue of the reference's disk-resident selective reads,
+        /root/reference/src/shards.rs:188-349). HBM then holds just the
+        centroid table plus one batch's staging buffer, so corpus capacity
+        is bounded by host RAM, not the 16 GB of HBM.
+
+        Prefer ``load_index_from(..., resident='host')``, which never
+        stages the table to the device at all; this method additionally
+        serves indexes just built on-device (it must fetch the table d2h
+        once — minutes at 1M over this environment's tunnel, seconds over
+        PCIe on a TPU VM)."""
+        if self.layout is None:
+            raise RuntimeError("index is empty: fit or load it first")
+        if getattr(self, "offloaded", False):
+            raise RuntimeError(
+                "index is offloaded (main table freed); reload it before "
+                "switching to host-resident serving"
+            )
+        lay = self.layout
+        for name in ("vectors", "row_norms", "offsets", "lengths"):
+            arr = getattr(lay, name)
+            if isinstance(arr, jax.Array):
+                host = np.asarray(arr)
+                arr.delete()
+                setattr(lay, name, host)
+        # Free derived device caches that reference the old table.
+        for dt in list(self._stream_tables):
+            for leaf in jax.tree_util.tree_leaves(self._stream_tables[dt]):
+                if isinstance(leaf, jax.Array):
+                    leaf.delete()
+            del self._stream_tables[dt]
+        self._runs = None
+        self._budget_cache = {}
+        self.host_resident = True
+        log.info(
+            "host-resident mode: %d rows in host RAM, HBM holds centroids "
+            "only", lay.vectors.shape[0],
+        )
+
     def choose_method(self, nq: int, n_probe: int) -> str:
         """Resolve 'auto' to a concrete method for this (nq, n_probe).
 
@@ -838,6 +925,8 @@ class IvfIndex:
         at nlist=160 where sharing saturates Q_SHARE=8. 'stream_shared'
         stays available explicitly. Exposed publicly so the bench harness
         can report which concrete path an 'auto' sweep point ran."""
+        if getattr(self, "host_resident", False):
+            return "staged"
         if getattr(self, "offloaded", False):
             return "stream"
         from ..ops.pallas.block_stream import per_query_slots, pick_chunk
@@ -886,6 +975,21 @@ class IvfIndex:
         hardware approximate selection (recall_target 0.99), 'stream' ranks
         in reduced precision before the exact re-rank.
         """
+        if getattr(self, "host_resident", False):
+            if method not in ("auto", "staged"):
+                raise RuntimeError(
+                    "host-resident index serves method='staged' only (the "
+                    "posting layout lives in host RAM; the device-resident "
+                    "paths need it staged in HBM — reload with "
+                    "resident='device' to restore them)"
+                )
+            if k <= 0:
+                raise ValueError("k must be > 0")
+            if n_probe <= 0:
+                raise ValueError("n_probe must be > 0")
+            from .staged import staged_search
+
+            return staged_search(self, queries, k, n_probe)
         if (
             getattr(self, "offloaded", False)
             and getattr(self, "_offload_rerank", "host") == "host"
@@ -943,27 +1047,9 @@ class IvfIndex:
             )
         else:
             exact = -cross
-        exact = np.where(internal >= 0, exact, np.inf)
-        # Sort by exact distance, drop duplicate ids (first occurrence =
-        # smallest distance), compact the first k survivors left — fully
-        # vectorized (the per-row python loop cost ~0.5 s/kilobatch).
-        order = np.argsort(exact, axis=1, kind="stable")
-        ids_o = np.take_along_axis(internal, order, axis=1)
-        d_o = np.take_along_axis(exact, order, axis=1)
-        oi = np.argsort(ids_o, axis=1, kind="stable")
-        ids_s = np.take_along_axis(ids_o, oi, axis=1)
-        dup_s = np.zeros_like(ids_s, bool)
-        dup_s[:, 1:] = (ids_s[:, 1:] == ids_s[:, :-1]) & (ids_s[:, 1:] >= 0)
-        dup = np.empty_like(dup_s)
-        np.put_along_axis(dup, oi, dup_s, axis=1)
-        keep = (~dup) & (ids_o >= 0) & np.isfinite(d_o)
-        sel = np.argsort(~keep, axis=1, kind="stable")[:, :k]
-        taken = np.take_along_axis(keep, sel, axis=1)
-        D = np.where(
-            taken, np.take_along_axis(d_o, sel, axis=1), np.inf
-        ).astype(np.float32)
-        I = np.where(taken, np.take_along_axis(ids_o, sel, axis=1), -1)
-        return D, I.astype(np.int64)
+        # Sort by exact distance, drop duplicate ids, take k (shared with
+        # the host-resident staged path).
+        return _host_dedup_topk(exact, internal, k)
 
     def _perm_dev_table(self):
         """Device int32 map layout row -> internal id (-1 on gap/tail rows),
@@ -1001,6 +1087,11 @@ class IvfIndex:
             raise ValueError("k must be > 0")
         if n_probe <= 0:
             raise ValueError("n_probe must be > 0")
+        if getattr(self, "host_resident", False):
+            raise RuntimeError(
+                "host-resident index has no device-resident layout; use "
+                "search_batch (method='staged')"
+            )
         if getattr(self, "offloaded", False):
             if method == "auto":
                 method = "stream"
@@ -1057,10 +1148,12 @@ class IvfIndex:
             method = self.choose_method(nq, n_probe)
 
         centroids, c_sq = self._device_tables()
-        if method in ("flat", "flat_exact", "flat_fused"):
+        # 'flat_xla' pins the XLA sweep+top_k program (A/B baseline for the
+        # fused default; also what 'flat' was before the 2026-08-18 flip).
+        if method in ("flat", "flat_exact", "flat_fused", "flat_xla"):
             approx = method != "flat_exact" and lay.n > 50_000
             want_fused = method == "flat_fused" or (
-                method == "flat" and _FUSED_FLAT_ON
+                method == "flat" and _FUSED_SWEEP_ON
             )
             if (
                 approx
@@ -1098,9 +1191,20 @@ class IvfIndex:
                 approx=approx,
                 metric=metric,
             )
+        if (
+            method == "dense"
+            and _FUSED_SWEEP_ON
+            and lay.n > 50_000
+            and d % 128 == 0
+            and jax.default_backend() != "cpu"
+        ):
+            # Default flip (2026-08-18 A/B: 201.5k vs 138.4k qps same
+            # window): large-n dense routes through the fused sweep; the
+            # branch below falls back to the XLA program when the fused
+            # plan declines the shape.
+            method = "dense_fused"
         if method == "dense_fused":
-            # Explicit fused masked-dense path (A/B surface; 'dense' below
-            # remains the XLA program until the fused path wins measured).
+            # Fused masked-dense path ('dense_xla' pins the XLA program).
             from ..ops.pallas.flat_sweep import plan_fused
 
             plan = plan_fused(lay.vectors.shape[0], d, nq, k)
@@ -1123,13 +1227,13 @@ class IvfIndex:
                     c_groups=c_groups,
                     metric=metric,
                 )
-        if method in ("dense", "dense_exact"):
+        if method in ("dense", "dense_exact", "dense_xla"):
             run_starts_b, centroids_ord, c_sq_ord = self._run_tables()
             # Live per-query bytes: the (q_tile, n_pad) distance + mask planes.
             q_tile = pick_q_tile(nq, lay.vectors.shape[0] * 4 // d, d)
             # Exact top-k for small corpora (cheap anyway); hardware
             # approx selection where it pays.
-            approx = method == "dense" and lay.n > 50_000
+            approx = method != "dense_exact" and lay.n > 50_000
             return _ivf_search_dense_program(
                 pad_to(q_tile),
                 centroids_ord,
@@ -1265,6 +1369,11 @@ class IvfIndex:
             rsel = jnp.take_along_axis(rows, jnp.maximum(ci, 0), axis=1)
             rsel = jnp.where((ci >= 0) & jnp.isfinite(dvals), rsel, -1)
             return dvals, rsel
+        if method == "staged":
+            raise RuntimeError(
+                "method='staged' requires a host-resident index (load with "
+                "resident='host' or call to_host_resident())"
+            )
         if method != "gather":
             raise ValueError(f"unknown search method: {method}")
 
@@ -1354,8 +1463,11 @@ class IvfIndex:
         persist.save_shards(self, shards_dir)
 
 
-def load_index_from(index_dir, shards_dir=None) -> IvfIndex:
-    """Load index metadata (+ posting layout from shard files when given)."""
+def load_index_from(index_dir, shards_dir=None, resident: str = "device") -> IvfIndex:
+    """Load index metadata (+ posting layout from shard files when given).
+
+    ``resident='host'`` keeps the layout in host RAM (unbounded-corpus
+    serving via per-batch probed-cell staging, index/staged.py)."""
     from ..storage import persist
 
-    return persist.load_index(index_dir, shards_dir)
+    return persist.load_index(index_dir, shards_dir, resident=resident)

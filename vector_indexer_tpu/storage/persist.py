@@ -122,8 +122,15 @@ def save_shards(index, shards_dir) -> None:
     log.info("%d shards written to %s", index.num_shards, shards_dir)
 
 
-def load_index(index_dir, shards_dir=None):
-    """Read index.bin; if shards_dir given, re-stage posting lists into HBM."""
+def load_index(index_dir, shards_dir=None, resident: str = "device"):
+    """Read index.bin; if shards_dir given, re-stage posting lists.
+
+    ``resident``: 'device' (default) stages the layout into HBM; 'host'
+    keeps it in host RAM and serves via per-batch probed-cell staging
+    (index/staged.py) — the unbounded-corpus mode, which never performs
+    the corpus-sized h2d transfer at load time."""
+    if resident not in ("device", "host"):
+        raise ValueError("resident must be 'device' or 'host'")
     from ..index.ivf import IvfIndex
     from .layout import PostingLayout
 
@@ -157,11 +164,12 @@ def load_index(index_dir, shards_dir=None):
     idx.spill = int(spill)
 
     if shards_dir is not None:
-        _stage_shards(idx, shards_dir, n_total)
+        _stage_shards(idx, shards_dir, n_total, device_put=resident == "device")
+        idx.host_resident = resident == "host"
     return idx
 
 
-def _stage_shards(idx, shards_dir, n_total: int) -> None:
+def _stage_shards(idx, shards_dir, n_total: int, device_put: bool = True) -> None:
     """Parse all shard files and rebuild the HBM posting layout.
 
     Missing/corrupt shards are skipped with a warning (partial-result
@@ -213,6 +221,7 @@ def _stage_shards(idx, shards_dir, n_total: int) -> None:
 
     idx.layout = _finalize(
         allvecs, perm_real, starts, lengths, kc,
+        device_put=device_put,
         n_real=n_total if n_total else None,
     )
 
