@@ -400,6 +400,49 @@ def _dedup_topk(dvals, rows, perm_dev, *, k: int):
     return dv, rsel
 
 
+# Fixed per-query overhead of the stream path in byte-equivalents: two
+# device selections (coarse probe pick + final candidate top-k, each on
+# the ~11 ms/kilobatch selection curve) plus the exact re-rank gather.
+# Calibrated so the model reproduces every same-window real-chip verdict
+# (see choose_sweep_body).
+STREAM_FIXED_QBYTES = 160 << 10
+
+
+def choose_sweep_body(
+    lengths_np, n_rows: int, d: int, itemsize: int, nq: int, n_probe: int,
+    chunk: int,
+) -> str:
+    """Dense-vs-stream auto selection: ONE calibrated byte model shared by
+    the single-chip dispatcher and every mesh searcher's local slice.
+
+    Per-query byte-equivalent costs:
+      * stream: EXPECTED chunk-aligned probed bytes (mean over cells) with
+        a 15% task-overhead markup, plus ``STREAM_FIXED_QBYTES`` for the
+        path's fixed selections/re-rank. The kernel's padded static slot
+        budget (per_query_slots) overstates real work 2-5x at moderate
+        nprobe — modeling with it mispicked dense at n=512k nprobe<=16,
+        where stream measured 1.7x faster.
+      * dense: the whole table swept once per query tile (the fused-sweep
+        default's epilogue cost is negligible next to its sweep bytes).
+
+    Calibrated against same-window real-chip A/Bs (2026-08-18):
+    n=100k/nlist=1268 dense wins every nprobe (dense_fused 201k qps vs
+    stream 101-124k); n=512k/nlist=2864 stream wins nprobe<=16
+    (93k/92k/67k vs 56k) and dense wins nprobe>=32 (56k vs 52k/32k);
+    n=1M/nlist=4000 stream wins low nprobe (round-2 table: 219k @ np=8
+    vs flat 46k). The model reproduces every measured verdict."""
+    if n_rows == 0 or len(lengths_np) == 0:
+        return "dense"
+    chunk = max(chunk, 1)
+    mean_slot_rows = float(np.ceil(lengths_np / chunk).mean()) * chunk
+    stream_q = (
+        n_probe * mean_slot_rows * d * itemsize * 1.15 + STREAM_FIXED_QBYTES
+    )
+    q_tile_d = pick_q_tile(nq, max(n_rows * 4 // d, 1), d)
+    dense_q = -(-nq // q_tile_d) * n_rows * d * 4 / max(nq, 1)
+    return "dense" if dense_q <= stream_q else "stream"
+
+
 def _host_dedup_topk(exact, internal, k: int):
     """Host-side twin of _dedup_topk: sort a (nq, kk) candidate list by
     distance, drop duplicate internal ids (first occurrence = smallest
@@ -912,35 +955,35 @@ class IvfIndex:
     def choose_method(self, nq: int, n_probe: int) -> str:
         """Resolve 'auto' to a concrete method for this (nq, n_probe).
 
-        Modeled bytes per q_tile batch: the dense matmul sweeps the whole
-        table once per tile; the block-stream kernel touches only probed
-        CHUNK blocks (bf16) with ~50% fixed-overhead markup. Measured
-        crossover on v5e: dense wins to ~150k rows, stream beyond (2.8x
-        flat at n=1M, nprobe<=8, recall 1.0). The block-major shared
-        kernel is never auto-selected: it paid only while the per-query
-        kernel spent per-task DMAs on query+centroid blocks; after those
-        were removed (sequential qvec ref) the per-query kernel wins at
-        every measured point — same-window A/B at n=100k: 101-124k qps
-        (stream) vs 99-101k (shared) at nlist=1268, and 51-86k vs 25-46k
-        at nlist=160 where sharing saturates Q_SHARE=8. 'stream_shared'
-        stays available explicitly. Exposed publicly so the bench harness
-        can report which concrete path an 'auto' sweep point ran."""
+        Delegates to ``choose_sweep_body`` — the calibrated expected-bytes
+        model shared with the mesh searchers (see its docstring for the
+        measured truth table: dense wins whole-table sweeps up to ~100k
+        rows at any nprobe and beyond ~2.4 MB/query of probed bytes;
+        stream wins the large-corpus low-nprobe regime, e.g. 93k vs 56k
+        qps at n=512k nprobe=4). The block-major shared kernel is never
+        auto-selected: it paid only while the per-query kernel spent
+        per-task DMAs on query+centroid blocks; after those were removed
+        (sequential qvec ref) the per-query kernel wins at every measured
+        point — same-window A/B at n=100k: 101-124k qps (stream) vs
+        99-101k (shared) at nlist=1268, and 51-86k vs 25-46k at nlist=160
+        where sharing saturates Q_SHARE=8. 'stream_shared' stays
+        available explicitly. Exposed publicly so the bench harness can
+        report which concrete path an 'auto' sweep point ran."""
         if getattr(self, "host_resident", False):
             return "staged"
         if getattr(self, "offloaded", False):
             return "stream"
-        from ..ops.pallas.block_stream import per_query_slots, pick_chunk
+        from ..ops.pallas.block_stream import pick_chunk
 
         lay = self.layout
         d = self.dimension
         n_probe = min(n_probe, self.num_clusters)
         itemsize = jnp.dtype(self.stream_dtype).itemsize
-        chunk = pick_chunk(np.asarray(lay.lengths), d, itemsize)
-        t_fixed = per_query_slots(np.asarray(lay.lengths), n_probe, chunk=chunk)
-        q_tile_d = pick_q_tile(nq, lay.vectors.shape[0] * 4 // d, d)
-        dense_cost = -(-nq // q_tile_d) * lay.vectors.shape[0] * d * 4
-        stream_cost = int(nq * t_fixed * chunk * d * itemsize * 1.5)
-        return "dense" if dense_cost <= stream_cost else "stream"
+        lengths = np.asarray(lay.lengths)
+        chunk = pick_chunk(lengths, d, itemsize)
+        return choose_sweep_body(
+            lengths, lay.vectors.shape[0], d, itemsize, nq, n_probe, chunk
+        )
 
     def _budget_for(self, n_probe: int) -> int:
         """Static packed-gather budget for n_probe (cached; exact, never

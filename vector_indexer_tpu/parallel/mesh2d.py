@@ -122,8 +122,10 @@ class Sharded2DSearcher:
         probe_bound = min(quantize_up(max(n_probe, 1)), kc)
         method = self.method
         if method == "auto":
+            # Query-parallel axis: each device sees only its query slice.
             method = choose_local_body(
-                self.index, self._host_tables, n_probe
+                self.index, self._host_tables, n_probe,
+                nq_local=max(1, -(-nq // nq_dev)),
             )
         if method == "stream":
             from ..ops.pallas.block_stream import SMEM_TASK_CAP

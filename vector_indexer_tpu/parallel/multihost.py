@@ -232,7 +232,9 @@ class MultiHostSearcher:
     def _choose(self, nq: int, n_probe: int) -> str:
         if self.method != "auto":
             return self.method
-        return choose_local_body(self.index, self._host_tables, n_probe)
+        return choose_local_body(
+            self.index, self._host_tables, n_probe, nq_local=nq
+        )
 
     def search_batch(
         self, queries: np.ndarray, k: int, n_probe: int

@@ -57,19 +57,24 @@ def _fine_metric(index) -> str:
     return index.metric if index.metric != "cosine" else "ip"
 
 
-def choose_local_body(index, host_tables, n_probe: int) -> str:
-    """Local-slice twin of IvfIndex.choose_method's dense/stream byte
-    model (same constants), shared by every mesh searcher's 'auto'."""
+def choose_local_body(
+    index, host_tables, n_probe: int, nq_local: int = 1024
+) -> str:
+    """Local-slice application of the ONE calibrated dense/stream byte
+    model (ivf.choose_sweep_body), shared by every mesh searcher's
+    'auto'. ``nq_local`` is the per-device query count (replicated
+    batches pass the full batch; query-parallel meshes their slice)."""
+    from ..index.ivf import choose_sweep_body
     from ..ops.pallas.block_stream import pick_chunk
 
     d = index.dimension
     itemsize = jnp.dtype(index.stream_dtype).itemsize
     rows_local = host_tables.local_vecs.shape[1]
-    chunk = pick_chunk(host_tables.local_lengths.reshape(-1), d, itemsize)
-    t_fixed = _stream_slots(host_tables.local_lengths, n_probe, chunk)
-    dense_cost = rows_local * d * 4
-    stream_cost = int(t_fixed * chunk * d * itemsize * 1.5)
-    return "dense" if dense_cost <= stream_cost else "stream"
+    lengths = np.asarray(host_tables.local_lengths).reshape(-1)
+    chunk = pick_chunk(lengths, d, itemsize)
+    return choose_sweep_body(
+        lengths, rows_local, d, itemsize, nq_local, n_probe, chunk
+    )
 
 
 def _normalize_cosine(index, queries: np.ndarray) -> np.ndarray:
@@ -373,7 +378,9 @@ class ShardedSearcher:
         (``choose_local_body``; shared-kernel variant not offered here)."""
         if self.method != "auto":
             return self.method
-        return choose_local_body(self.index, self._host_tables, n_probe)
+        return choose_local_body(
+            self.index, self._host_tables, n_probe, nq_local=nq
+        )
 
     # -- search ---------------------------------------------------------
 
