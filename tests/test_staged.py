@@ -147,6 +147,52 @@ def test_staged_bytes_grow_with_nprobe(saved):
     assert small < full_bytes / 2  # selective staging actually selective
 
 
+def test_staged_quantized_dtypes(saved):
+    """bf16/int8 staging: 2x/4x smaller h2d payload, exact host re-rank
+    restores exact distances (same contract as the int8 offload mode)."""
+    import jax.numpy as jnp
+
+    wd, data = saved
+    _, host = _load_pair(wd)
+    q = data[:32] + 0.02
+    De, Ie = host.search_batch(q, 10, 6)  # f32 staging baseline
+    host.search_batch(q, 10, 6)
+    f32_bytes = host._last_stage_bytes
+    for sd, max_bytes in ((jnp.bfloat16, f32_bytes * 0.6),
+                          (jnp.int8, f32_bytes * 0.4)):
+        host.stage_dtype = sd
+        try:
+            D, I = host.search_batch(q, 10, 6)
+            qbytes = host._last_stage_bytes
+        finally:
+            host.stage_dtype = jnp.float32
+        for a, b in zip(Ie, I):
+            assert set(a.tolist()) == set(b.tolist()), sd
+        # atol 2e-3: the host re-rank and the device sweep accumulate the
+        # same f32 sums in different orders.
+        np.testing.assert_allclose(De, D, rtol=1e-4, atol=2e-3)
+        assert qbytes <= max_bytes, (sd, qbytes, f32_bytes)
+
+
+def test_staged_quantized_spill(tmp_path):
+    data, _, _ = make_gaussian_clusters(8, 120, 16, spread=0.6, separation=5.0)
+    import jax.numpy as jnp
+
+    idx = IvfIndex.fit(_store(data), seed=42, spill=1)
+    idx.save_to(tmp_path / "index", tmp_path / "shards")
+    host = load_index_from(
+        tmp_path / "index", tmp_path / "shards", resident="host"
+    )
+    host.stage_dtype = jnp.int8
+    D, I = host.search_batch(data[:24] + 0.05, 10, 4)
+    for row in I:
+        real = row[row >= 0]
+        assert len(set(real.tolist())) == len(real)
+    dev = load_index_from(tmp_path / "index", tmp_path / "shards")
+    Dd, Id = dev.search_batch(data[:24] + 0.05, 10, 4)
+    np.testing.assert_allclose(Dd, D, rtol=1e-4, atol=5e-4)
+
+
 def test_staged_single_query_convenience(saved):
     wd, data = saved
     _, host = _load_pair(wd)

@@ -910,7 +910,7 @@ class IvfIndex:
             st.vecs.size * st.vecs.dtype.itemsize >> 20,
         )
 
-    def to_host_resident(self) -> None:
+    def to_host_resident(self, stage_dtype=None) -> None:
         """Unbounded-corpus serving mode: move the posting layout to HOST
         memory and free its device residency entirely; searches stage only
         the probed cells' posting blocks per batch (index/staged.py — the
@@ -918,6 +918,11 @@ class IvfIndex:
         /root/reference/src/shards.rs:188-349). HBM then holds just the
         centroid table plus one batch's staging buffer, so corpus capacity
         is bounded by host RAM, not the 16 GB of HBM.
+
+        ``stage_dtype`` (or setting ``self.stage_dtype``; float32 default)
+        selects the staging precision: bfloat16 / int8 shrink the
+        per-batch h2d payload 2x/4x — the staged path's bottleneck — with
+        a widened device shortlist re-ranked exactly on the host.
 
         Prefer ``load_index_from(..., resident='host')``, which never
         stages the table to the device at all; this method additionally
@@ -946,6 +951,8 @@ class IvfIndex:
             del self._stream_tables[dt]
         self._runs = None
         self._budget_cache = {}
+        if stage_dtype is not None:
+            self.stage_dtype = jnp.dtype(stage_dtype)
         self.host_resident = True
         log.info(
             "host-resident mode: %d rows in host RAM, HBM holds centroids "

@@ -97,18 +97,66 @@ def _pack_stage(lay, union, d):
 
     staged_to_orig = np.full(r_pad, -1, np.int64)
     staged_to_orig[:r_used] = rows_idx
-    return staged_vecs, staged_norms, sub_starts, staged_to_orig, r_used
+    return staged_vecs, staged_norms, sub_starts, alens, staged_to_orig, r_used
 
 
 def _round_up_arr(x, m):
     return ((x + m - 1) // m) * m
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "q_tile", "approx", "metric")
+)
+def _staged_quant_program(
+    queries, cent_ord, csq_ord, vecs_q, scale_row, norms, run_starts_b,
+    n_probe, *, k, q_tile, approx, metric,
+):
+    """Quantized-staging sweep: dequantize the staged buffer on device
+    (bf16: cast; int8: cast x per-row scale) and run the same masked-dense
+    body. Halves (bf16) or quarters (int8) the per-batch h2d bytes — the
+    staged path's actual bottleneck on PCIe — at the cost of approximate
+    ranking; the exact host re-rank of the widened shortlist restores
+    exact distances (same contract as the int8 offload mode)."""
+    from .ivf import _ivf_search_dense_program
+
+    v = vecs_q.astype(jnp.float32)
+    if scale_row is not None:
+        v = v * scale_row[:, None]
+    return _ivf_search_dense_program.__wrapped__(
+        queries, cent_ord, csq_ord, v, norms, run_starts_b, n_probe,
+        k=k, q_tile=q_tile, approx=approx, metric=metric,
+    )
+
+
+def _rerank_exact_host(lay, q, orig_rows, internal, metric):
+    """Exact distances for a (nq, kk) shortlist, straight from the
+    host-resident layout rows (single BLAS-dispatched pass, mirroring
+    _search_offloaded's economics)."""
+    cand = lay.vectors[np.maximum(orig_rows, 0)]  # (nq, kk, d) f32
+    cross = (cand * q[:, None, :]).sum(-1)
+    if metric == "l2":
+        exact = np.maximum(
+            (q**2).sum(1)[:, None]
+            - 2.0 * cross
+            + lay.row_norms[np.maximum(orig_rows, 0)],
+            0.0,
+        )
+    else:
+        exact = -cross
+    return np.where(internal >= 0, exact, np.inf).astype(np.float32)
+
+
 def staged_search(idx, queries, k: int, n_probe: int):
     """Search a host-resident index: coarse on device, probed-cell staging
     h2d, masked-dense sweep on the staged sub-table. Returns (D, I) with
     the standard +inf/-1 padding contract; on spilled indexes the program
-    runs (1+spill)x wide and duplicates are dropped host-side."""
+    runs (1+spill)x wide and duplicates are dropped host-side.
+
+    ``idx.stage_dtype`` (float32 default) selects the staging precision:
+    bfloat16 / int8 (per-cell symmetric scales) quantize the h2d payload
+    2x/4x smaller, rank approximately on device, and re-rank the widened
+    shortlist exactly on the host — the same exactness contract as the
+    int8 offload mode (offload_main_table)."""
     from .ivf import (
         _host_dedup_topk,
         _ivf_search_dense_program,
@@ -130,7 +178,20 @@ def staged_search(idx, queries, k: int, n_probe: int):
     metric = idx.metric if idx.metric != "cosine" else "ip"
     n_probe = min(n_probe, idx.num_clusters)
     spill = getattr(idx, "spill", 0)
-    kk = (1 + spill) * k
+    sd = jnp.dtype(getattr(idx, "stage_dtype", jnp.float32))
+    if sd == jnp.float32:
+        wide = 1
+    elif sd == jnp.bfloat16:
+        wide = 2
+    elif sd == jnp.int8:
+        wide = 4
+    else:
+        raise ValueError(f"unsupported stage_dtype: {sd}")
+    # Quantized staging ranks approximately: widen the device shortlist
+    # (same policy as the int8 offload mode) for the exact host re-rank.
+    kk = (1 + spill) * (
+        k if wide == 1 else min(max(wide * k, 32 * wide), 4096)
+    )
 
     centroids, c_sq = idx._device_tables()
     with trace("staged.coarse", nq=nq, n_probe=n_probe):
@@ -139,15 +200,17 @@ def staged_search(idx, queries, k: int, n_probe: int):
                                jnp.int32(n_probe))
         )
     union = np.flatnonzero(mask.any(axis=0))
+    # Zero-length cells (possible after a partial load) stage nothing —
+    # drop them so the pack's per-cell segments stay well-formed.
+    union = union[np.asarray(lay.lengths)[union] > 0]
     # Layout order keeps the pack a sequence of forward slices (and makes
     # the staged buffer deterministic for a given probe set).
     starts_all = np.asarray(lay.offsets)[:-1]
     union = union[np.argsort(starts_all[union], kind="stable")]
 
     with trace("staged.pack", cells=len(union)):
-        staged_vecs, staged_norms, sub_starts, staged_to_orig, r_used = (
-            _pack_stage(lay, union, d)
-        )
+        (staged_vecs, staged_norms, sub_starts, alens, staged_to_orig,
+         r_used) = _pack_stage(lay, union, d)
     r_pad = staged_vecs.shape[0]
     u_pad = max(quantize_up(max(len(union), 1)), 8)
 
@@ -170,22 +233,58 @@ def staged_search(idx, queries, k: int, n_probe: int):
     qp[:nq] = q
 
     # Work accounting hook (harness reads it after a search).
-    idx._last_stage_bytes = r_pad * d * 4 + r_pad * 4
+    idx._last_stage_bytes = (
+        r_pad * d * sd.itemsize + r_pad * 4 + (r_pad * 4 if wide == 4 else 0)
+    )
 
-    with trace("staged.sweep", rows=r_pad, cells=len(union)):
-        dv, rows = _ivf_search_dense_program(
-            jnp.asarray(qp),
-            jnp.asarray(cent_ord),
-            jnp.asarray(csq_ord),
-            jnp.asarray(staged_vecs),
-            jnp.asarray(staged_norms),
-            jnp.asarray(run_starts_b),
-            jnp.int32(n_probe),
-            k=min(kk, r_pad),
-            q_tile=q_tile,
-            approx=lay.n > 50_000,
-            metric=metric,
-        )
+    common = dict(
+        k=min(kk, r_pad), q_tile=q_tile, approx=lay.n > 50_000, metric=metric
+    )
+    with trace("staged.sweep", rows=r_pad, cells=len(union), dtype=str(sd)):
+        if wide == 1:
+            dv, rows = _ivf_search_dense_program(
+                jnp.asarray(qp),
+                jnp.asarray(cent_ord),
+                jnp.asarray(csq_ord),
+                jnp.asarray(staged_vecs),
+                jnp.asarray(staged_norms),
+                jnp.asarray(run_starts_b),
+                jnp.int32(n_probe),
+                **common,
+            )
+        else:
+            if wide == 2:  # bfloat16: host-side cast, h2d payload halves
+                import ml_dtypes
+
+                payload = staged_vecs.astype(ml_dtypes.bfloat16)
+                scale_dev = None
+            else:  # int8: per-cell symmetric scales (offload-mode parity)
+                scale_row = np.ones(r_pad, np.float32)
+                payload = np.zeros((r_pad, d), np.int8)
+                if r_used:
+                    absrow = np.abs(staged_vecs[:r_used]).max(1)
+                    cell_max = np.maximum.reduceat(absrow, sub_starts)
+                    scale_c = np.maximum(cell_max / 127.0, 1e-30)
+                    scale_row[:r_used] = np.repeat(scale_c, alens)
+                    payload[:r_used] = np.clip(
+                        np.round(
+                            staged_vecs[:r_used] / scale_row[:r_used, None]
+                        ),
+                        -127,
+                        127,
+                    ).astype(np.int8)
+                scale_dev = jnp.asarray(scale_row)
+            dv, rows = _staged_quant_program(
+                jnp.asarray(qp),
+                jnp.asarray(cent_ord),
+                jnp.asarray(csq_ord),
+                jnp.asarray(payload),
+                scale_dev,
+                jnp.asarray(staged_norms),
+                jnp.asarray(run_starts_b),
+                jnp.int32(n_probe),
+                **common,
+            )
         dv = np.asarray(dv)[:nq]
         rows = np.asarray(rows)[:nq]
 
@@ -197,6 +296,12 @@ def staged_search(idx, queries, k: int, n_probe: int):
         orig_rows >= 0, lay.perm[np.clip(orig_rows, 0, bound)], -1
     )
     dv = np.where(internal >= 0, dv, np.inf).astype(np.float32)
+    if wide > 1:
+        # Quantized device ranking: exact re-rank of the widened shortlist
+        # from the host layout, then dedup (spill) + final k cut.
+        with trace("staged.rerank", kk=dv.shape[1]):
+            exact = _rerank_exact_host(lay, q, orig_rows, internal, metric)
+        return _host_dedup_topk(exact, internal, k)
     if spill:
         return _host_dedup_topk(dv, internal, k)
     if dv.shape[1] > k:  # kk was clamped to r_pad but may still exceed k
