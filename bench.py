@@ -252,7 +252,8 @@ def main() -> None:
     # explicitly rather than letting a flat win wear an IVF label.)
     flat_row = next(r for r in rows if r["tag"] == "flat")
     ivf_at_floor = [
-        r for r in at_floor if r["tag"] != "flat" and r["cand_per_q"] < args.n
+        r for r in at_floor
+        if not r["tag"].startswith("flat") and r["cand_per_q"] < args.n
     ]
     best_ivf = max(ivf_at_floor, key=lambda r: r["qps"]) if ivf_at_floor else None
 
@@ -284,7 +285,7 @@ def main() -> None:
             verdict = "flat is Pareto-optimal on this operating point; " + verdict
     else:
         max_ivf = max(
-            (r for r in rows if r["tag"] != "flat"),
+            (r for r in rows if not r["tag"].startswith("flat")),
             key=lambda r: r.get("r@10", 0),
         )
         verdict = (
