@@ -10,6 +10,7 @@ semantics (eta = 1/count).
 from .kmeans import (
     KMeansResult,
     kmeans_plus_plus_init,
+    run_kmeans_balanced,
     run_kmeans_lloyd,
     run_kmeans_mini_batch,
     assign_points,
@@ -20,6 +21,7 @@ from .kmeans import (
 __all__ = [
     "KMeansResult",
     "kmeans_plus_plus_init",
+    "run_kmeans_balanced",
     "run_kmeans_lloyd",
     "run_kmeans_mini_batch",
     "assign_points",

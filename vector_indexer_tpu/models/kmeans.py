@@ -425,6 +425,214 @@ def run_kmeans_lloyd(
 
 
 # ---------------------------------------------------------------------------
+# Balanced Lloyd (capacity-penalized assignment)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _assign_dense_biased(
+    data: jax.Array, centroids: jax.Array, bias: jax.Array,
+    chunk: int = _ASSIGN_CHUNK,
+):
+    """Nearest centroid under an additive per-cluster bias (distance-sq
+    units). Returns (labels, TRUE squared distance to the chosen cell)."""
+    n, _ = data.shape
+    c_sq = sq_norms(centroids)
+    tiles, _ = _pad_tiles(data, chunk)
+
+    def one(xt):
+        dmat = pairwise_sq_l2(xt, centroids, c_sq=c_sq)
+        lbl = jnp.argmin(dmat + bias[None, :], axis=1).astype(jnp.int32)
+        return lbl, jnp.take_along_axis(dmat, lbl[:, None], axis=1)[:, 0]
+
+    labels, dists = jax.lax.map(one, tiles)
+    return labels.reshape(-1)[:n], dists.reshape(-1)[:n]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "max_iters", "chunk", "spherical")
+)
+def _lloyd_loop_balanced(data, init_centroids, key, k, max_iters, tol, chunk,
+                         balance, spherical=False):
+    """Lloyd with an occupancy-penalized assignment: each pass adds
+    ``pen_c = balance * E * (count_c / target - 1)`` to cell c's distances,
+    where E is the previous pass's mean squared quantization error and
+    target = n/k. The penalty is in distance-sq units and self-scales with
+    the data, so over-full cells shed their boundary points to
+    under-full neighbours (an auction-style soft capacity constraint) —
+    a fully batched extra broadcast-add per tile, nothing sequential."""
+    n, d = data.shape
+    tiles, n_pad = _pad_tiles(data, chunk)
+    num_tiles = n_pad // chunk
+    row_iota = jnp.arange(chunk)
+    target = jnp.float32(n) / k
+
+    def stats(centroids, pen):
+        c_sq = sq_norms(centroids)
+
+        def step(carry, inp):
+            sums, counts, errs, msum = carry
+            xt, start = inp
+            dmat = pairwise_sq_l2(
+                xt, centroids, c_sq=c_sq,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            lbl = jnp.argmin(dmat + pen[None, :], axis=1).astype(jnp.int32)
+            valid = ((start + row_iota) < n).astype(jnp.float32)
+            s, c = _segment_stats(xt, lbl, k, valid=valid)
+            dsel = jnp.maximum(
+                jnp.take_along_axis(dmat, lbl[:, None], axis=1)[:, 0], 0.0
+            )
+            oh = jax.nn.one_hot(lbl, k, dtype=jnp.float32)
+            e = jnp.dot(oh.T, dsel * valid)  # per-cell error sums
+            # Assignment margin (2nd-nearest minus nearest, raw geometry):
+            # the natural unit for occupancy penalties. In high dimension
+            # margins are FAR smaller than the absolute error level E
+            # (distance concentration), so E-scaled penalties drown the
+            # geometry — measured max/mean 148x at d=128 while the same
+            # controller held 1.03 at d=16.
+            v2 = jax.lax.top_k(-dmat, 2)[0]
+            msum = msum + jnp.sum((v2[:, 0] - v2[:, 1]) * valid)
+            return (sums + s, counts + c, errs + e, msum), None
+
+        starts = jnp.arange(num_tiles) * chunk
+        (sums, counts, errs, msum), _ = jax.lax.scan(
+            step,
+            (jnp.zeros((k, d)), jnp.zeros(k), jnp.zeros(k),
+             jnp.float32(0.0)),
+            (tiles, starts),
+        )
+        return sums, counts, errs, msum / n
+
+    def cond(carry):
+        _, _, _, it, delta, _ = carry
+        return jnp.logical_and(it < max_iters, delta >= tol)
+
+    def body(carry):
+        centroids, pen, key, it, _, _ = carry
+        key, krep = jax.random.split(key)
+        sums, counts, errs, margin = stats(centroids, pen)
+        err = jnp.sum(errs) / n
+        new_c = jnp.where(
+            (counts > 0)[:, None],
+            sums / jnp.maximum(counts, 1.0)[:, None],
+            centroids,
+        )
+        new_c = _repair_empty(krep, new_c, counts, data)
+        if spherical:
+            new_c = new_c / jnp.maximum(
+                jnp.linalg.norm(new_c, axis=1, keepdims=True), 1e-12
+            )
+        # Integral controller: accumulate a damped occupancy correction
+        # instead of re-deriving the penalty from scratch (a proportional
+        # penalty oscillates — an overfull cell overshoots to empty and
+        # back, measured max/mean WORSE than plain Lloyd). Anti-windup:
+        # the per-step push is clipped to +-1 target-fraction and the
+        # accumulated penalty to +-2E, so penalties nudge boundary points
+        # without ever dominating the geometry (unclamped, balance=2
+        # measured max/mean 13.7 — penalty-driven chaos). Mean-centering
+        # keeps magnitudes bounded (only penalty differences matter).
+        push = jnp.clip(counts / target - 1.0, -1.0, 1.0)
+        # Integrator in MARGIN units: one step moves at most the points
+        # within ~half a mean margin of their boundary; the accumulated
+        # penalty is capped at 4 margins (anti-windup — an E-scaled cap
+        # let penalties dominate the geometry in high dimension). Gain
+        # saturates at 1: larger balance only tightens the split
+        # thresholds' effect, not the integrator (E-scaled gain 2x the
+        # stable point measured penalty-driven chaos).
+        gain = 0.5 * jnp.minimum(balance, 1.0) * margin
+        new_pen = pen + gain * push
+        new_pen = new_pen - jnp.mean(new_pen)
+        new_pen = jnp.clip(new_pen, -4.0 * margin, 4.0 * margin)
+        # Clone-split: penalties cannot break up a point mass (its members
+        # are equidistant and leave a cell as one bloc, oscillating). When
+        # the heaviest cell holds >2x target, clone its centroid onto the
+        # lightest cell with a small jitter — the next Lloyd pass splits
+        # the mass between the co-located pair. One split per iteration
+        # turns a 16x point-mass cell into ~target cells in ~log rounds.
+        heavy = jnp.argmax(counts)
+        light = jnp.argmin(counts)
+        key, kj = jax.random.split(key)
+        # Jitter at 10% of the DONOR cell's RMS radius: the clone must land
+        # inside the mass it is meant to split (a global-error-scaled
+        # jitter overshot tight blobs entirely — the clone stayed empty and
+        # was re-donated forever).
+        cell_rms = jnp.sqrt(
+            errs[heavy] / jnp.maximum(counts[heavy], 1.0)
+        )
+        jitter = 0.1 * jnp.maximum(cell_rms, 1e-15) * jax.random.normal(
+            kj, (d,)
+        ) / jnp.sqrt(jnp.float32(d))
+        # Split only when there is BOTH a genuinely overfull donor and a
+        # genuinely underfull recipient (cloning onto a healthy cell
+        # destroys it — measured cascade on already-balanced data), and
+        # not in the last iterations (a just-made clone needs a few Lloyd
+        # passes to take its share).
+        do_split = (
+            (counts[heavy] > 2.0 * target)
+            & (counts[light] < 0.6 * target)
+            & (it < max_iters - 5)
+        )
+        rows = jnp.arange(k)
+        clone = jnp.where(
+            (rows == light)[:, None], new_c[heavy][None, :] + jitter[None, :],
+            new_c,
+        )
+        new_c = jnp.where(do_split, clone, new_c)
+        new_pen = jnp.where(
+            do_split & (rows == light), new_pen[heavy], new_pen
+        )
+        delta = _rms_delta(new_c, centroids)
+        return new_c, new_pen, key, it + 1, delta, delta < tol
+
+    init = (
+        init_centroids, jnp.zeros(k, jnp.float32), key, jnp.int32(0),
+        jnp.float32(jnp.inf), False,
+    )
+    centroids, pen, _, iters, _, converged = jax.lax.while_loop(
+        cond, body, init
+    )
+    return centroids, pen, iters, converged
+
+
+def run_kmeans_balanced(
+    data,
+    k: int,
+    max_iters: int,
+    balance: float = 1.0,
+    early_stop_threshold: Optional[float] = None,
+    seed: int = 42,
+    chunk: int = _ASSIGN_CHUNK,
+    spherical: bool = False,
+) -> KMeansResult:
+    """Capacity-penalized full-batch Lloyd: bounds posting-list skew by
+    construction (beyond-reference capability — the reference's recall
+    depends on skewed cells, kmeans.rs:64-150; here balance is an OPTION
+    so tail cells stop dictating gather budgets / stream slot counts /
+    per-shard load imbalance).
+
+    The FINAL assignment applies the trained penalty vector too — an
+    unpenalized final pass would immediately restore the skew. Returned
+    distances are the TRUE squared distances of the (penalized) choice.
+    Early stopping is OFF by default: the occupancy integrator keeps
+    working after the centroids settle, so the RMS-delta criterion would
+    cut the balancing short."""
+    data = _check_data(data)
+    tol = 0.0 if early_stop_threshold is None else early_stop_threshold
+    init = kmeans_plus_plus_init(data, k, seed=seed)
+    key = jax.random.PRNGKey(np.uint32(seed ^ 0x5EED))
+    chunk = min(chunk, max(8, data.shape[0]))
+    centroids, pen, iters, converged = _lloyd_loop_balanced(
+        data, init, key, k, max_iters, jnp.float32(tol), chunk,
+        jnp.float32(balance), spherical=spherical,
+    )
+    labels, _ = _assign_dense_biased(
+        jnp.asarray(data, jnp.float32), centroids, pen, chunk=chunk
+    )
+    return KMeansResult(centroids, labels, int(iters), bool(converged))
+
+
+# ---------------------------------------------------------------------------
 # Mini-batch
 # ---------------------------------------------------------------------------
 
