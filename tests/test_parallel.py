@@ -130,11 +130,13 @@ def test_sharded_dense_fused_body_matches_dense():
             assert len(shared) >= k - 2
             for r in shared:
                 ia, ib = list(a).index(r), list(b).index(r)
-                # q_sq is added after selection in the fused path, so the
-                # summation order differs: f32 cancellation noise on
-                # near-zero self-distances reaches a few 1e-3.
+                # q_sq is added after selection in the fused path (order
+                # noise on near-zero self-distances), and the serving
+                # sweep is the 3pass bf16 hi/lo split which INTERPRET
+                # mode accumulates in bf16 (unlike the MXU's f32
+                # accumulators — on-chip delta is <= ~2e-3): allow 3e-2.
                 np.testing.assert_allclose(
-                    da[ia], db[ib], rtol=1e-3, atol=5e-3
+                    da[ia], db[ib], rtol=1e-3, atol=3e-2
                 )
 
 

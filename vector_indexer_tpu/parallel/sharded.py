@@ -605,10 +605,12 @@ def _make_per_device(
             mb = mask_b.astype(jnp.float32)
             if mcols > nb:
                 mb = jnp.pad(mb, ((0, 0), (0, mcols - nb)))
+            # '3pass' matches the single-chip fused default (the sweep is
+            # MXU-compute-bound; see _flat_search_fused_program).
             vals, rows = flat_sweep_topk_plane(
                 q, vecs, norms, mb,
                 metric=metric, w=w, c_groups=c_groups, q_tile=q_tile,
-                interpret=interpret,
+                precision="3pass", interpret=interpret,
             )
             dloc, pos = topk_smallest(vals, k)
             rloc = jnp.take_along_axis(rows, jnp.maximum(pos, 0), axis=1)
