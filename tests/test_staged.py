@@ -193,6 +193,13 @@ def test_staged_quantized_spill(tmp_path):
     np.testing.assert_allclose(Dd, D, rtol=1e-4, atol=5e-4)
 
 
+def test_host_resident_rejects_offload(saved):
+    wd, _ = saved
+    _, host = _load_pair(wd)
+    with pytest.raises(RuntimeError):
+        host.offload_main_table()
+
+
 def test_staged_single_query_convenience(saved):
     wd, data = saved
     _, host = _load_pair(wd)

@@ -905,6 +905,12 @@ class IvfIndex:
             raise ValueError("rerank must be 'host' or 'none'")
         if self.layout is None:
             raise RuntimeError("index is empty: fit or load it first")
+        if getattr(self, "host_resident", False):
+            raise RuntimeError(
+                "index is host-resident (staged serving) — offload mode "
+                "needs a device-resident layout; reload with "
+                "resident='device' first"
+            )
         if rerank == "host" and getattr(self, "_host_data", None) is None:
             raise RuntimeError(
                 "offload with rerank='host' requires the host mirror "
