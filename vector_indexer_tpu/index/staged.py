@@ -193,12 +193,21 @@ def staged_search(idx, queries, k: int, n_probe: int):
         k if wide == 1 else min(max(wide * k, 32 * wide), 4096)
     )
 
+    # Quantize the query axis so consecutive batches of nearby sizes hit
+    # one compile of the coarse and sweep programs (compiles cost 3-300 s
+    # over this environment's backend). Pads are COPIES of the first
+    # query: they add no cells to the probe union (zero-padding would
+    # spuriously stage the cells nearest the origin).
+    nq_q = max(8, quantize_up(nq))
+    qq = np.repeat(q[:1], nq_q, axis=0)
+    qq[:nq] = q
+
     centroids, c_sq = idx._device_tables()
     with trace("staged.coarse", nq=nq, n_probe=n_probe):
         mask = np.asarray(
-            _coarse_probe_mask(jnp.asarray(q), centroids, c_sq,
+            _coarse_probe_mask(jnp.asarray(qq), centroids, c_sq,
                                jnp.int32(n_probe))
-        )
+        )[:nq]
     union = np.flatnonzero(mask.any(axis=0))
     # Zero-length cells (possible after a partial load) stage nothing —
     # drop them so the pack's per-cell segments stay well-formed.
@@ -227,9 +236,9 @@ def staged_search(idx, queries, k: int, n_probe: int):
     run_starts_b = np.full(u_pad, r_used // ALIGN, np.int32)
     run_starts_b[: len(union)] = (sub_starts // ALIGN).astype(np.int32)
 
-    q_tile = pick_q_tile(nq, max(r_pad * 4 // d, 1), d)
-    nq_pad = _round_up(nq, q_tile)
-    qp = np.zeros((nq_pad, d), np.float32)
+    q_tile = pick_q_tile(nq_q, max(r_pad * 4 // d, 1), d)
+    nq_pad = _round_up(nq_q, q_tile)
+    qp = np.repeat(q[:1], nq_pad, axis=0)
     qp[:nq] = q
 
     # Work accounting hook (harness reads it after a search).
