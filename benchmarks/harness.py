@@ -122,7 +122,10 @@ def work_accounting(core, xq: np.ndarray, n_probe: int, method: str) -> dict:
         )
         union = np.flatnonzero((dc <= thresh).any(axis=0))
         alens = ((lengths[union] + ALIGN - 1) // ALIGN) * ALIGN
-        bytes_q = float(alens.sum()) * (d * 4 + 4) / nq
+        stage_item = np.dtype(
+            getattr(core, "stage_dtype", np.float32)
+        ).itemsize
+        bytes_q = float(alens.sum()) * (d * stage_item + 4) / nq
     else:  # gather paths: per-query candidate row gather
         bytes_q = core._budget_for(n_probe) * d * 4
     return dict(method=method, cand_per_q=cand, mb_per_q=bytes_q / 2**20)
