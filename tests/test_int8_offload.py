@@ -133,3 +133,77 @@ def test_offload_with_spill_dedups():
         real = row[row >= 0]
         assert len(set(real.tolist())) == len(real)
     assert (I[:, 0] == np.arange(16)).all()
+
+def test_host_built_stream_table_matches_device_build():
+    # build_stream_table_host (load resident='offload') must reproduce the
+    # device builder's table: identical int8 codes and maps, norms/scales
+    # equal up to f32 summation order.
+    from vector_indexer_tpu.ops.pallas.block_stream import (
+        build_stream_table,
+        build_stream_table_host,
+    )
+    from vector_indexer_tpu.storage.layout import PostingLayout
+
+    data, _, _ = make_gaussian_clusters(8, 130, 24, spread=0.5, separation=6.0)
+    idx = IvfIndex.fit(_store(data), seed=11)
+    dev = build_stream_table(idx.layout, idx.centroids, jnp.int8)
+    lay = idx.layout
+    host_lay = PostingLayout(
+        vectors=np.asarray(lay.vectors),
+        row_norms=np.asarray(lay.row_norms),
+        offsets=np.asarray(lay.offsets),
+        lengths=np.asarray(lay.lengths),
+        perm=lay.perm,
+        n=lay.n,
+        max_list_len=lay.max_list_len,
+    )
+    hst = build_stream_table_host(host_lay, idx.centroids, jnp.int8)
+    assert hst.m_pad == dev.m_pad and hst.chunk == dev.chunk
+    np.testing.assert_allclose(
+        np.asarray(hst.scales), np.asarray(dev.scales), rtol=1e-6
+    )
+    # Codes may differ only where round(r/s) sits exactly between ints.
+    mismatch = np.asarray(hst.vecs, np.int32) - np.asarray(dev.vecs, np.int32)
+    assert np.abs(mismatch).max() <= 1
+    assert (mismatch != 0).mean() < 1e-3
+    np.testing.assert_allclose(
+        np.asarray(hst.norms), np.asarray(dev.norms), rtol=1e-4, atol=1e-4
+    )
+    for f in ("to_main", "sblk0", "lengths", "blk_cid"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(hst, f)), np.asarray(getattr(dev, f))
+        )
+
+
+def test_load_resident_offload_end_to_end(tmp_path):
+    # The larger-than-HBM LOAD path: the f32 table never touches the
+    # device; searches match the device-offloaded index's results.
+    from vector_indexer_tpu.index import load_index_from
+
+    data, _, _ = make_gaussian_clusters(8, 150, 24, spread=0.4, separation=8.0)
+    idx = IvfIndex.fit(_store(data), seed=7)
+    q = data[:32] + 0.01
+    D_ref, I_ref = idx.search_batch(q, 10, idx.num_clusters, method="gather")
+    idx.save_shards_to(tmp_path / "shards")
+    idx.save_to(tmp_path / "index")
+
+    off = load_index_from(tmp_path / "index", tmp_path / "shards",
+                          resident="offload")
+    assert off.offloaded and not off.host_resident
+    assert off.layout.vectors is None and off.layout.row_norms is None
+    assert off.stream_dtype == jnp.int8
+    D, I = off.search_batch(q, 10, off.num_clusters)
+    for a, b in zip(I_ref, I):
+        assert set(a.tolist()) == set(b.tolist())
+    np.testing.assert_allclose(np.sort(D_ref, 1), np.sort(D, 1),
+                               rtol=1e-3, atol=1e-3)
+    # Non-stream methods stay rejected, like device-side offload.
+    with pytest.raises(RuntimeError, match="stream"):
+        off.search_batch_device(q[:4], 5, 2, method="dense")
+
+
+def test_offload_from_host_rejects_device_layout():
+    data, _, _ = make_gaussian_clusters(4, 80, 16, spread=0.4, separation=8.0)
+    idx = IvfIndex.fit(_store(data), seed=1)
+    with pytest.raises(RuntimeError, match="device-resident"):
+        idx.offload_from_host()

@@ -120,7 +120,9 @@ class VectorIndexer:
     ) -> "VectorIndexer":
         """``resident='host'`` loads the posting layout into host RAM and
         serves via per-batch probed-cell staging (unbounded corpus mode —
-        capacity bounded by host RAM instead of HBM)."""
+        capacity bounded by host RAM instead of HBM); ``resident='offload'``
+        uploads only a host-quantized int8 stream table for device-speed
+        serving of f32 tables larger than HBM."""
         index = load_index_from(cfg.index_dir, cfg.shards_dir, resident=resident)
         return cls(cfg, _index=index)
 

@@ -156,7 +156,10 @@ def load(
     index_dir: str, shards_dir: str, dim: int, resident: str = "device"
 ) -> VectorIndex:
     """``resident='host'`` serves an unbounded corpus from host RAM via
-    per-batch probed-cell staging (see IvfIndex.to_host_resident)."""
+    per-batch probed-cell staging (see IvfIndex.to_host_resident);
+    ``resident='offload'`` serves larger-than-HBM corpora at device
+    throughput from a host-quantized int8 stream table (see
+    IvfIndex.offload_from_host)."""
     cfg = (
         VectorIndexerConfig(dim)
         .with_index_dir(index_dir)

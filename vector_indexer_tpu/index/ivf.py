@@ -947,6 +947,53 @@ class IvfIndex:
             st.vecs.size * st.vecs.dtype.itemsize >> 20,
         )
 
+    def offload_from_host(self, stream_dtype=None, rerank: str = "host") -> None:
+        """Enter offload serving mode directly from a HOST-staged layout
+        (``load_index_from(..., resident='offload')``): the compact stream
+        table is quantized on the host and uploaded alone, so the f32 main
+        table never touches HBM. This is the load path for corpora whose
+        f32 table exceeds device memory — ``offload_main_table`` needs the
+        table staged to HBM first, which is exactly what cannot happen
+        there. Same serving semantics as offload_main_table (method
+        'stream'; exact host re-rank by default)."""
+        if rerank not in ("host", "none"):
+            raise ValueError("rerank must be 'host' or 'none'")
+        if self.layout is None:
+            raise RuntimeError("index is empty: fit or load it first")
+        lay = self.layout
+        if isinstance(lay.vectors, jax.Array):
+            raise RuntimeError(
+                "layout is device-resident; use offload_main_table() "
+                "(offload_from_host is for host-staged layouts)"
+            )
+        if rerank == "host" and getattr(self, "_host_data", None) is None:
+            raise RuntimeError(
+                "offload with rerank='host' requires the host mirror "
+                "(fit/load create it)"
+            )
+        from ..ops.pallas.block_stream import build_stream_table_host
+
+        self._offload_rerank = rerank
+        self.stream_dtype = jnp.dtype(
+            stream_dtype if stream_dtype is not None else jnp.int8
+        )
+        with trace("stream_table.build_host", dtype=str(self.stream_dtype)):
+            st = build_stream_table_host(
+                lay, self.centroids, self.stream_dtype
+            )
+        self._stream_tables = {self.stream_dtype: st}
+        self._n_pad = lay.vectors.shape[0]
+        lay.vectors = None
+        lay.row_norms = None
+        self._runs = None
+        self.offloaded = True
+        self.host_resident = False
+        log.info(
+            "offloaded (host-built) table: stream dtype=%s, %d MB resident",
+            self.stream_dtype,
+            st.vecs.size * st.vecs.dtype.itemsize >> 20,
+        )
+
     def to_host_resident(self, stage_dtype=None) -> None:
         """Unbounded-corpus serving mode: move the posting layout to HOST
         memory and free its device residency entirely; searches stage only
@@ -1517,6 +1564,16 @@ class IvfIndex:
 
     def _vector_of(self, internal_id: int) -> np.ndarray:
         lay = self.layout
+        if lay.vectors is None:
+            # Offloaded table (device- or host-built): the f32 rows live only
+            # in the host mirror, which is internal-id ordered.
+            host = getattr(self, "_host_data", None)
+            if host is None:
+                raise RuntimeError(
+                    "result vectors unavailable: main table offloaded and no "
+                    "host mirror present"
+                )
+            return np.asarray(host[internal_id], np.float32)
         # perm maps layout row -> internal id; invert for payload fetch. After
         # a partial load (missing shard) internal ids can exceed lay.n, so the
         # inverse is sized by the id space, not the row count. The cache pins
@@ -1554,7 +1611,10 @@ def load_index_from(index_dir, shards_dir=None, resident: str = "device") -> Ivf
     """Load index metadata (+ posting layout from shard files when given).
 
     ``resident='host'`` keeps the layout in host RAM (unbounded-corpus
-    serving via per-batch probed-cell staging, index/staged.py)."""
+    serving via per-batch probed-cell staging, index/staged.py);
+    ``resident='offload'`` uploads only a host-quantized int8 stream table
+    (full-throughput device serving for f32 tables larger than HBM,
+    IvfIndex.offload_from_host)."""
     from ..storage import persist
 
     return persist.load_index(index_dir, shards_dir, resident=resident)

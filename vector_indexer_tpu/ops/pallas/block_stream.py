@@ -117,25 +117,16 @@ class StreamTable:
         return self.vecs.shape[1] * self.vecs.dtype.itemsize
 
 
-def build_stream_table(
-    layout, centroids, dtype=jnp.bfloat16, chunk: int | None = None
-) -> StreamTable:
-    """Re-pack the main layout into CHUNK-aligned cluster blocks of RESIDUAL
-    rows (device-side row gather; one-time ~O(table) cost). Residual
-    encoding makes low-precision tables accurate: the error of the stored
-    row scales with its distance to its centroid, not its absolute
-    magnitude.
-
-    dtype=int8 stores symmetric per-CLUSTER-scaled residuals
-    (s_c = max|r|/127 over the cluster): 4x less sweep HBM than f32 — the
-    larger-than-HBM serving dtype — with the norms kept as exact f32 norms
-    OF THE QUANTIZED rows so in-kernel distances are consistent."""
+def _stream_maps(layout, itemsize: int, chunk: int | None):
+    """Host-side index prep shared by the device and host table builders:
+    CHUNK-aligned per-cluster block bases, stream-row -> main-row map, and
+    owning-cluster id per stream row."""
     starts = np.asarray(layout.offsets)[:-1].astype(np.int64)
     lengths = np.asarray(layout.lengths).astype(np.int64)
     kc = len(lengths)
     order = np.argsort(starts, kind="stable")  # layout placement order
     if chunk is None:
-        chunk = pick_chunk(lengths, layout.dim, jnp.dtype(dtype).itemsize)
+        chunk = pick_chunk(lengths, layout.dim, itemsize)
     CHUNK = chunk  # shadow the module default within this build
 
     sizes = _round_up_arr(np.maximum(lengths[order], 0), CHUNK)
@@ -151,13 +142,6 @@ def build_stream_table(
     # out before selection anyway.
     main_pad_row = layout.vectors.shape[0] - 1
     to_main = np.full(m_pad, main_pad_row, np.int64)
-    for c in range(kc):
-        ln = int(lengths[c])
-        if ln:
-            to_main[bases[c] : bases[c] + ln] = np.arange(
-                starts[c], starts[c] + ln
-            )
-
     # Cluster id per stream row, covering the cluster's whole CHUNK-rounded
     # region so every block maps to its owning cluster (pad rows keep zero
     # residuals and SENTINEL norms regardless).
@@ -165,7 +149,31 @@ def build_stream_table(
     for c in range(kc):
         ln = int(lengths[c])
         if ln:
+            to_main[bases[c] : bases[c] + ln] = np.arange(
+                starts[c], starts[c] + ln
+            )
             row_cid[bases[c] : bases[c] + _round_up(ln, CHUNK)] = c
+    return lengths, CHUNK, bases, m_pad, main_pad_row, to_main, row_cid
+
+
+def build_stream_table(
+    layout, centroids, dtype=jnp.bfloat16, chunk: int | None = None
+) -> StreamTable:
+    """Re-pack the main layout into CHUNK-aligned cluster blocks of RESIDUAL
+    rows (device-side row gather; one-time ~O(table) cost). Residual
+    encoding makes low-precision tables accurate: the error of the stored
+    row scales with its distance to its centroid, not its absolute
+    magnitude.
+
+    dtype=int8 stores symmetric per-CLUSTER-scaled residuals
+    (s_c = max|r|/127 over the cluster): 4x less sweep HBM than f32 — the
+    larger-than-HBM serving dtype — with the norms kept as exact f32 norms
+    OF THE QUANTIZED rows so in-kernel distances are consistent."""
+    dtype = jnp.dtype(dtype)
+    (lengths, CHUNK, bases, m_pad, main_pad_row, to_main, row_cid) = (
+        _stream_maps(layout, dtype.itemsize, chunk)
+    )
+    kc = len(lengths)
 
     # Tiled device build: the eager chain would hold several table-sized
     # f32 intermediates at once (gather, residual, quantized, dequantized
@@ -250,6 +258,83 @@ def build_stream_table(
         cent=cent,
         blk_cid=jnp.asarray(row_cid[::CHUNK].astype(np.int32)),
         scales=scales,
+        m_pad=m_pad,
+        dtype=dtype,
+        chunk=CHUNK,
+    )
+
+
+def build_stream_table_host(
+    layout, centroids, dtype=jnp.int8, chunk: int | None = None
+) -> StreamTable:
+    """Host-side twin of build_stream_table for layouts whose vectors live
+    in host RAM (``load(..., resident='offload')``): residuals are computed
+    and quantized with numpy and ONLY the compact stream table is uploaded
+    — the f32 corpus never touches HBM. This is what makes the offload
+    serving mode reachable for corpora whose f32 table exceeds device
+    memory (the reference's bigger-than-RAM design point,
+    /root/reference/src/shards.rs:188-349); the device builder would need
+    the full f32 table staged first.
+
+    Same math as the device builder (symmetric per-cluster int8 scales,
+    norms of the (de)quantized rows, SENTINEL pad norms); outputs differ
+    only by f32 summation order."""
+    dtype = jnp.dtype(dtype)
+    (lengths, CHUNK, bases, m_pad, main_pad_row, to_main, row_cid) = (
+        _stream_maps(layout, dtype.itemsize, chunk)
+    )
+    kc = len(lengths)
+    d = layout.dim
+    vecs_host = np.asarray(layout.vectors)
+    cent = np.asarray(centroids, np.float32)
+    real = to_main != main_pad_row
+
+    R = 1 << 19  # rows per pass (<=256 MB f32 transient)
+    out_vecs = np.empty((m_pad, d), np.dtype(dtype))
+    out_norms = np.full(m_pad, 1e30, np.float32)
+    scales_np = np.ones(kc, np.float32)
+
+    def _residual(lo, hi):
+        res = vecs_host[to_main[lo:hi]].astype(np.float32, copy=True)
+        res -= cent[row_cid[lo:hi]]
+        res[~real[lo:hi]] = 0.0
+        return res
+
+    if dtype == jnp.int8:
+        smax = np.zeros(kc, np.float32)
+        for lo in range(0, m_pad, R):
+            hi = min(lo + R, m_pad)
+            m = np.abs(_residual(lo, hi)).max(axis=1) * real[lo:hi]
+            np.maximum.at(smax, row_cid[lo:hi], m.astype(np.float32))
+        scales_np = np.maximum(smax / 127.0, 1e-12)
+        for lo in range(0, m_pad, R):
+            hi = min(lo + R, m_pad)
+            res = _residual(lo, hi)
+            s = scales_np[row_cid[lo:hi]][:, None]
+            q8 = np.clip(np.round(res / s), -127, 127)
+            deq = q8 * s
+            out_vecs[lo:hi] = q8.astype(np.int8)
+            out_norms[lo:hi] = np.where(
+                real[lo:hi], (deq * deq).sum(axis=1), 1e30
+            )
+    else:
+        for lo in range(0, m_pad, R):
+            hi = min(lo + R, m_pad)
+            res = _residual(lo, hi)
+            out_vecs[lo:hi] = res.astype(np.dtype(dtype))
+            out_norms[lo:hi] = np.where(
+                real[lo:hi], (res * res).sum(axis=1), 1e30
+            )
+
+    return StreamTable(
+        vecs=jnp.asarray(out_vecs),
+        norms=jnp.asarray(out_norms),
+        to_main=jnp.asarray(to_main, jnp.int32),
+        sblk0=jnp.asarray((bases // CHUNK).astype(np.int32)),
+        lengths=jnp.asarray(lengths.astype(np.int32)),
+        cent=jnp.asarray(cent),
+        blk_cid=jnp.asarray(row_cid[::CHUNK].astype(np.int32)),
+        scales=jnp.asarray(scales_np),
         m_pad=m_pad,
         dtype=dtype,
         chunk=CHUNK,

@@ -128,9 +128,12 @@ def load_index(index_dir, shards_dir=None, resident: str = "device"):
     ``resident``: 'device' (default) stages the layout into HBM; 'host'
     keeps it in host RAM and serves via per-batch probed-cell staging
     (index/staged.py) — the unbounded-corpus mode, which never performs
-    the corpus-sized h2d transfer at load time."""
-    if resident not in ("device", "host"):
-        raise ValueError("resident must be 'device' or 'host'")
+    the corpus-sized h2d transfer at load time; 'offload' quantizes the
+    compact int8 stream table on the host and uploads only it (~1/16 of
+    the f32 residency) — full-throughput device serving for corpora whose
+    f32 table exceeds HBM (IvfIndex.offload_from_host)."""
+    if resident not in ("device", "host", "offload"):
+        raise ValueError("resident must be 'device', 'host', or 'offload'")
     from ..index.ivf import IvfIndex
     from .layout import PostingLayout
 
@@ -166,6 +169,8 @@ def load_index(index_dir, shards_dir=None, resident: str = "device"):
     if shards_dir is not None:
         _stage_shards(idx, shards_dir, n_total, device_put=resident == "device")
         idx.host_resident = resident == "host"
+        if resident == "offload":
+            idx.offload_from_host()
     return idx
 
 
