@@ -74,7 +74,14 @@ def work_accounting(core, xq: np.ndarray, n_probe: int, method: str) -> dict:
         probe = np.argpartition(dc, n_probe - 1, axis=1)[:, :n_probe]
         cand = float(lengths[probe].sum(1).mean())
 
-    table_rows = lay.vectors.shape[0]
+    # Offloaded indexes free lay.vectors (the f32 table) but remember the
+    # padded row count; their only method is 'stream', which sizes work
+    # from the stream table, so _n_pad is exact where it matters.
+    table_rows = (
+        lay.vectors.shape[0]
+        if lay.vectors is not None
+        else getattr(core, "_n_pad", lay.n)
+    )
     if method.startswith(("flat", "dense")):
         import jax
 

@@ -108,20 +108,26 @@ def _round_up_arr(x, m):
     jax.jit, static_argnames=("k", "q_tile", "approx", "metric")
 )
 def _staged_quant_program(
-    queries, cent_ord, csq_ord, vecs_q, scale_row, norms, run_starts_b,
-    n_probe, *, k, q_tile, approx, metric,
+    queries, cent_ord, csq_ord, vecs_q, scale_row, cell_row, norms,
+    run_starts_b, n_probe, *, k, q_tile, approx, metric,
 ):
     """Quantized-staging sweep: dequantize the staged buffer on device
-    (bf16: cast; int8: cast x per-row scale) and run the same masked-dense
-    body. Halves (bf16) or quarters (int8) the per-batch h2d bytes — the
-    staged path's actual bottleneck on PCIe — at the cost of approximate
-    ranking; the exact host re-rank of the widened shortlist restores
-    exact distances (same contract as the int8 offload mode)."""
+    (bf16: cast; int8: per-row scale x codes + the row's cell centroid —
+    the codes are RESIDUALS, see staged_search) and run the same
+    masked-dense body. Halves (bf16) or quarters (int8) the per-batch h2d
+    bytes — the staged path's actual bottleneck on PCIe — at the cost of
+    approximate ranking; the exact host re-rank of the widened shortlist
+    restores exact distances (same contract as the int8 offload mode)."""
     from .ivf import _ivf_search_dense_program
 
     v = vecs_q.astype(jnp.float32)
     if scale_row is not None:
-        v = v * scale_row[:, None]
+        # int8 codes hold (x - c_cell)/s_cell: residual encoding keeps the
+        # error proportional to the cluster spread, not |x| (offload-mode
+        # parity — build_stream_table's rationale). Reconstruct absolute
+        # rows for the dense body; `norms` already holds |x_hat|^2 of the
+        # SAME reconstruction, so device distances are consistent.
+        v = v * scale_row[:, None] + cent_ord[cell_row]
     return _ivf_search_dense_program.__wrapped__(
         queries, cent_ord, csq_ord, v, norms, run_starts_b, n_probe,
         k=k, q_tile=q_tile, approx=approx, metric=metric,
@@ -243,8 +249,8 @@ def staged_search(idx, queries, k: int, n_probe: int):
 
     # Work accounting hook (harness reads it after a search).
     idx._last_stage_bytes = (
-        r_pad * d * sd.itemsize + r_pad * 4 + (r_pad * 4 if wide == 4 else 0)
-    )
+        r_pad * d * sd.itemsize + r_pad * 4 + (r_pad * 8 if wide == 4 else 0)
+    )  # payload + norms (+ int8: per-row scale f32 + cell id i32)
 
     common = dict(
         k=min(kk, r_pad), q_tile=q_tile, approx=lay.n > 50_000, metric=metric
@@ -266,30 +272,52 @@ def staged_search(idx, queries, k: int, n_probe: int):
                 import ml_dtypes
 
                 payload = staged_vecs.astype(ml_dtypes.bfloat16)
-                scale_dev = None
-            else:  # int8: per-cell symmetric scales (offload-mode parity)
+                scale_dev = cell_dev = None
+                norms_dev = jnp.asarray(staged_norms)
+            else:
+                # int8 quantizes RESIDUALS (x - c_cell) with per-cell
+                # symmetric scales — offload-mode parity
+                # (ops/pallas/block_stream.build_stream_table): absolute-row
+                # quantization would scale the error with |x| instead of
+                # the cluster spread, collapsing recall on far-from-origin
+                # data. Norms are recomputed for the DEQUANTIZED rows so
+                # the device distance is the exact distance to x_hat.
                 scale_row = np.ones(r_pad, np.float32)
+                cell_row = np.zeros(r_pad, np.int32)
                 payload = np.zeros((r_pad, d), np.int8)
+                norms_q = staged_norms.copy()
                 if r_used:
-                    absrow = np.abs(staged_vecs[:r_used]).max(1)
+                    cell_row[:r_used] = np.repeat(
+                        np.arange(len(union), dtype=np.int32), alens
+                    )
+                    real = staged_norms[:r_used] < 1e29
+                    res = staged_vecs[:r_used] - cent_ord[cell_row[:r_used]]
+                    absrow = np.abs(res).max(1) * real
                     cell_max = np.maximum.reduceat(absrow, sub_starts)
                     scale_c = np.maximum(cell_max / 127.0, 1e-30)
                     scale_row[:r_used] = np.repeat(scale_c, alens)
-                    payload[:r_used] = np.clip(
-                        np.round(
-                            staged_vecs[:r_used] / scale_row[:r_used, None]
-                        ),
-                        -127,
-                        127,
-                    ).astype(np.int8)
+                    q8 = np.clip(
+                        np.round(res / scale_row[:r_used, None]), -127, 127
+                    )
+                    payload[:r_used] = q8.astype(np.int8)
+                    deq = (
+                        q8 * scale_row[:r_used, None]
+                        + cent_ord[cell_row[:r_used]]
+                    )
+                    norms_q[:r_used] = np.where(
+                        real, (deq * deq).sum(1), staged_norms[:r_used]
+                    )
                 scale_dev = jnp.asarray(scale_row)
+                cell_dev = jnp.asarray(cell_row)
+                norms_dev = jnp.asarray(norms_q)
             dv, rows = _staged_quant_program(
                 jnp.asarray(qp),
                 jnp.asarray(cent_ord),
                 jnp.asarray(csq_ord),
                 jnp.asarray(payload),
                 scale_dev,
-                jnp.asarray(staged_norms),
+                cell_dev,
+                norms_dev,
                 jnp.asarray(run_starts_b),
                 jnp.int32(n_probe),
                 **common,

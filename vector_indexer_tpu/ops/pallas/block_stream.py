@@ -55,9 +55,10 @@ CHUNK = 256  # default rows per task block (lane-aligned packed output slots)
 # Block fetches per grid step (amortizes per-step overhead). A/B on v5e at
 # n=1M (same time window): 16 beats 8 by 10-13% at nprobe 4/16, ties at 8.
 FAN = 16
-# SMEM holds 2 int32 scalar-prefetch arrays of nq*t_fixed tasks; stay under
-# half of the v5e's ~1 MB SMEM.
-SMEM_TASK_CAP = 61_440
+# SMEM holds 3 scalar-prefetch arrays of nq*t_fixed tasks (block id i32 +
+# int8 dequant scale f32 + bias f32 = 12 B/task); stay under half of the
+# v5e's ~1 MB SMEM.
+SMEM_TASK_CAP = 40_960
 # Measured per-task fixed cost on v5e: ~200 ns regardless of block bytes
 # (an all-same-block run — zero new HBM traffic — streams no faster than
 # distinct blocks). The kernel structure tops out ~625 GB/s (76% of the

@@ -516,22 +516,14 @@ class ShardedSearcher:
 
 def _dedup_host(internal: np.ndarray, D: np.ndarray):
     """Drop duplicate ids per row (keep first = smallest distance),
-    compacting survivors left. Rows stay distance-sorted."""
-    nq, kk = internal.shape
-    out_i = np.full_like(internal, -1)
-    out_d = np.full_like(D, np.inf)
-    for qi in range(nq):
-        seen = set()
-        w = 0
-        for j in range(kk):
-            v = internal[qi, j]
-            if v < 0 or v in seen:
-                continue
-            seen.add(v)
-            out_i[qi, w] = v
-            out_d[qi, w] = D[qi, j]
-            w += 1
-    return out_i, out_d
+    compacting survivors left; rows stay distance-sorted. Delegates to the
+    vectorized index.ivf._host_dedup_topk — a per-row python loop here
+    measured ~0.5 s/kilobatch, which would cap spilled multi-chip
+    throughput at ~2k qps regardless of device speed."""
+    from ..index.ivf import _host_dedup_topk
+
+    D2, I2 = _host_dedup_topk(D, internal, D.shape[1])
+    return I2, D2
 
 
 def _coarse_threshold(q, q_sq, centroids, c_sq, n_probe, probe_bound):
@@ -778,7 +770,15 @@ def _make_per_device_stream(
             probe = jnp.where(-pvals <= thresh, ploc, kc_local).astype(
                 jnp.int32
             )
-            kk = min(max(2 * k, 64), t_fixed * chunk) if rerank else k
+            # Same shortlist-widening rule as the single-chip stream path
+            # (index/ivf.py): int8 quantization noise needs a 4x/128-floor
+            # re-rank margin where bf16 needs 2x/64.
+            wide = 4 if table.dtype == jnp.int8 else 2
+            kk = (
+                min(max(wide * k, 64 * (wide // 2)), t_fixed * chunk)
+                if rerank
+                else k
+            )
             dvals, rows = block_stream_search(
                 qt, table, probe, kk,
                 t_fixed=t_fixed, metric=metric, approx=True,
