@@ -236,6 +236,18 @@ def main() -> None:
         )
     except Exception as e:  # pragma: no cover - device-dependent
         print(f"# flat_xla sweep failed: {e!r}", file=sys.stderr)
+    # int8 fixed-point sweep points (explicit approximate methods,
+    # faiss-SQ8-style): measured like every other row — the recall column
+    # states what they actually deliver, and work accounting reports the
+    # 2 B / 1 B per-element sweeps honestly.
+    for m in ("flat_int8", "flat_int8x1"):
+        try:
+            rows += _sweep(
+                index, xq, xq_dev, gt, args.k, [], args.min_time,
+                m, points=[(m, index.nlist)],
+            )
+        except Exception as e:  # pragma: no cover - device-dependent
+            print(f"# {m} sweep failed: {e!r}", file=sys.stderr)
 
     # Headline: best qps over ALL operating points meeting the floor.
     at_floor = [r for r in rows if r.get("r@10", 0.0) >= RECALL_FLOOR]

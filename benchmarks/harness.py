@@ -92,20 +92,33 @@ def work_accounting(core, xq: np.ndarray, n_probe: int, method: str) -> dict:
         # sweep by default on TPU, which amortizes over ITS plan's query
         # tile (headline k=100 operating point assumed for the plan);
         # '*_xla' pins the XLA program.
-        fused = method.endswith("_fused") or (
+        int8_mode = "_int8" in method
+        fused = method.endswith("_fused") or int8_mode or (
             method in ("flat", "dense")
             and _FUSED_SWEEP_ON
             and lay.n > 50_000
             and d % 128 == 0
             and jax.default_backend() != "cpu"
         )
+        # int8 fixed-point sweeps read 2 B/element (values + residual);
+        # the 1-pass x1 variants read 1 B. Exact paths read the f32 table.
+        elem_bytes = 4
+        if int8_mode:
+            elem_bytes = 1 if method.endswith("x1") else 2
         if fused:
             from vector_indexer_tpu.ops.pallas.flat_sweep import plan_fused
 
-            plan = plan_fused(table_rows, d, nq, 100)
+            plan = plan_fused(
+                table_rows, d, nq, 100,
+                precision=(
+                    ("int8x1" if method.endswith("x1") else "int8")
+                    if int8_mode
+                    else "highest"
+                ),
+            )
             if plan is not None:
                 q_tile = plan[1]
-        bytes_q = table_rows * d * 4 / q_tile  # full-table sweep per tile
+        bytes_q = table_rows * d * elem_bytes / q_tile  # table sweep per tile
     elif method.startswith("stream"):
         from vector_indexer_tpu.ops.pallas.block_stream import (
             per_query_slots,

@@ -54,7 +54,8 @@ def main() -> None:
             "auto", "dense", "dense_exact", "dense_fused", "gather",
             "gather_dma", "stream", "stream_exact", "stream_shared",
             "stream_shared_exact", "flat", "flat_exact", "flat_fused",
-            "flat_xla", "dense_xla",
+            "flat_xla", "dense_xla", "flat_int8", "flat_int8x1",
+            "dense_int8", "dense_int8x1",
         ],
     )
     p.add_argument("--metric", default="l2", choices=["l2", "ip", "cosine"])

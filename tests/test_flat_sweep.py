@@ -435,3 +435,142 @@ def test_pick_window_bounds():
         for k in (1, 10, 100):
             w = pick_window(n, k)
             assert w in (8, 16, 32)
+
+
+def test_quantize_table_int8_reconstruction_bound():
+    """x ~= sx*x8 + (sx/SHIFT)*r8 with |err| <= sx/(2*SHIFT) per element;
+    zero (gap/tail) rows quantize to exact zeros."""
+    from vector_indexer_tpu.ops.pallas.flat_sweep import (
+        SHIFT, quantize_table_int8,
+    )
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((500, 128)).astype(np.float32)
+    x[100:110] = 0.0  # gap rows are zero vectors
+    x8, r8, sx = quantize_table_int8(jnp.asarray(x))
+    x8, r8, sx = np.asarray(x8), np.asarray(r8), np.asarray(sx)
+    rec = x8.astype(np.float32) * sx[:, None] + r8.astype(np.float32) * (
+        sx[:, None] / SHIFT
+    )
+    err = np.abs(rec - x)
+    assert (err <= sx[:, None] / (2 * SHIFT) + 1e-7).all()
+    assert (x8[100:110] == 0).all() and (r8[100:110] == 0).all()
+
+
+@pytest.mark.parametrize("prec,floor,derr", [("int8", 0.97, 0.05), ("int8x1", 0.92, 1.5)])
+def test_topk_plane_int8_modes(prec, floor, derr):
+    """Fixed-point int8 sweeps: returned values track the exact distances
+    within the mode's error band and top-10 recall vs the exact oracle
+    holds its floor (plane tail loss included) on isotropic data."""
+    from vector_indexer_tpu.ops.pallas.flat_sweep import quantize_table_int8
+
+    n, d, nq = 5000, 128, 16
+    x, q, norms = _mk(n, d, nq, seed=12)
+    x8, r8, sx = quantize_table_int8(jnp.asarray(x))
+    vals, rows = flat_sweep_topk_plane(
+        jnp.asarray(q), x8, jnp.asarray(norms), None,
+        r8 if prec == "int8" else None, sx,
+        metric="l2", w=8, c_groups=4, q_tile=8,
+        precision=prec, interpret=True,
+    )
+    vals, rows = np.asarray(vals), np.asarray(rows)
+    dist = norms[None, :] - 2.0 * q @ x.T
+    fin = np.isfinite(vals)
+    assert (rows[~fin] == -1).all()
+    err = np.abs(vals[fin] - dist[np.nonzero(fin)[0], rows[fin]])
+    assert err.max() <= derr
+    hits = 0
+    for i in range(nq):
+        top10 = rows[i][np.argsort(vals[i])[:10]]
+        hits += len(set(top10.tolist()) & set(np.argsort(dist[i])[:10].tolist()))
+    assert hits / (10 * nq) >= floor
+
+
+def test_int8_fused_programs_match_exact_twin():
+    """Program level: the int8 flat and masked-dense fused programs return
+    (nearly) the same result set as their exact twins on a real built
+    index, and the int8 distances track the exact ones to ~2e-2."""
+    from vector_indexer_tpu.index import IvfIndex
+    from vector_indexer_tpu.index.ivf import (
+        _flat_search_fused_program,
+        _ivf_search_dense_fused_program,
+    )
+    from vector_indexer_tpu.ops.pallas.flat_sweep import quantize_table_int8
+    from vector_indexer_tpu.storage import VectorStore
+
+    rng = np.random.default_rng(5)
+    n, d, nq, k = 4000, 128, 16, 10
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    store = VectorStore(
+        external_ids=np.arange(n, dtype=np.uint64), vectors=data
+    )
+    idx = IvfIndex.fit(store, nlist=16, seed=42)
+    lay = idx.layout
+    q = jnp.asarray(
+        data[:nq] + rng.normal(0, 0.05, (nq, d)).astype(np.float32)
+    )
+    x8, r8, sx = quantize_table_int8(lay.vectors)
+
+    Di, Ii = _flat_search_fused_program(
+        q, x8, lay.row_norms, r8, sx,
+        k=k, q_tile=8, w=8, c_groups=2, precision="int8", interpret=True,
+    )
+    De, Ie = _flat_search_fused_program(
+        q, lay.vectors, lay.row_norms,
+        k=k, q_tile=8, w=8, c_groups=2, interpret=True,
+    )
+    Ii, Ie, Di, De = map(np.asarray, (Ii, Ie, Di, De))
+    assert (Ii[:, 0] == Ie[:, 0]).all()  # self-hit NN survives int8
+    overlap = np.mean([len(set(Ii[i]) & set(Ie[i])) for i in range(nq)])
+    assert overlap >= k - 1
+    assert np.abs(Di - De).max() <= 5e-2
+
+    run_starts_b, cord, csq = idx._run_tables()
+    Dd, Id = _ivf_search_dense_fused_program(
+        q, cord, csq, x8, lay.row_norms, run_starts_b, jnp.int32(4),
+        r8, sx, k=k, q_tile=8, w=8, c_groups=2,
+        precision="int8", interpret=True,
+    )
+    Dd2, Id2 = _ivf_search_dense_fused_program(
+        q, cord, csq, lay.vectors, lay.row_norms, run_starts_b,
+        jnp.int32(4), k=k, q_tile=8, w=8, c_groups=2, interpret=True,
+    )
+    Id, Id2 = np.asarray(Id), np.asarray(Id2)
+    assert (Id[:, 0] == Id2[:, 0]).all()
+    overlap = np.mean([len(set(Id[i]) & set(Id2[i])) for i in range(nq)])
+    assert overlap >= k - 1
+
+
+def test_int8_methods_degrade_to_exact_on_cpu():
+    """Like the fused methods, the int8 methods fall back to the exact XLA
+    twins on the CPU backend (interpret mode is too slow to serve)."""
+    from vector_indexer_tpu.index import IvfIndex
+    from vector_indexer_tpu.storage import VectorStore
+
+    rng = np.random.default_rng(6)
+    n, d, nq, k = 2000, 128, 8, 5
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    store = VectorStore(
+        external_ids=np.arange(n, dtype=np.uint64), vectors=data
+    )
+    idx = IvfIndex.fit(store, nlist=8, seed=42)
+    q = data[:nq]
+    for m, twin in (
+        ("flat_int8", "flat"), ("flat_int8x1", "flat"),
+        ("dense_int8", "dense"), ("dense_int8x1", "dense"),
+    ):
+        D, I = idx.search_batch_device(q, k, 4, method=m)
+        D2, I2 = idx.search_batch_device(q, k, 4, method=twin)
+        np.testing.assert_array_equal(np.asarray(I), np.asarray(I2))
+
+
+def test_plan_fused_int8_gates():
+    from vector_indexer_tpu.ops.pallas.flat_sweep import plan_fused
+
+    # d beyond the int32 accumulator bound must decline the int8 plan
+    assert plan_fused(100_000, 3072, 1024, 100, precision="int8") is None
+    for prec in ("int8", "int8x1"):
+        plan = plan_fused(1_000_000, 128, 1024, 100, precision=prec)
+        assert plan is not None
+        w, qt, c = plan
+        assert w in (8, 16, 32) and qt % 8 == 0 and 1 <= c <= 8

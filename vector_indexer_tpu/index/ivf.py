@@ -517,18 +517,23 @@ def _flat_search_program(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "q_tile", "w", "c_groups", "metric", "interpret"),
+    static_argnames=(
+        "k", "q_tile", "w", "c_groups", "metric", "precision", "interpret"
+    ),
 )
 def _flat_search_fused_program(
     queries,  # (nq_pad, d) f32, nq_pad % q_tile == 0, d % 128 == 0
-    vectors,  # (n_pad, d) f32
+    vectors,  # (n_pad, d) f32 — int8 under the int8 precisions
     row_norms,  # (n_pad,) f32 — SENTINEL_NORM on gap/tail rows
+    vec_resid=None,  # (n_pad, d) int8 fixed-point residual (prec 'int8')
+    scale_row=None,  # (n_pad,) f32 per-row int8 scales (int8 precisions)
     *,
     k: int,
     q_tile: int,
     w: int,
     c_groups: int,
     metric: str = "l2",
+    precision: str = "3pass",
     interpret: bool = False,
 ):
     """Flat search through the fused sweep + on-chip top-2-plane Pallas
@@ -555,15 +560,22 @@ def _flat_search_fused_program(
     exact re-rank of the shortlist was measured and REJECTED: the k-row
     random gather costs ~4-5 ms/kilobatch (the round-2 'survivor row
     gather dominates' trap) — more than the entire sweep saving
-    (rerank variant measured 118.6k at n=100k vs 344.3k without)."""
+    (rerank variant measured 118.6k at n=100k vs 344.3k without).
+
+    ``precision='int8'/'int8x1'``: fixed-point int8 sweep over a
+    pre-quantized table (``quantize_table_int8``) — the explicit
+    approximate operating points (methods 'flat_int8'/'flat_int8x1',
+    faiss-SQ8-style). Norms stay exact f32; the cross-term error is
+    ~1e-2 / ~0.3 absolute on unit-variance d=128 data (measured
+    isotropic R@10 0.999 / 0.98 at n=100k)."""
     from ..ops.pallas.flat_sweep import flat_sweep_topk_plane
     from ..storage.layout import SENTINEL_THRESHOLD
 
     q_sq = sq_norms(queries)
     vals, rows = flat_sweep_topk_plane(
-        queries, vectors, row_norms,
+        queries, vectors, row_norms, None, vec_resid, scale_row,
         metric=metric, w=w, c_groups=c_groups, q_tile=q_tile,
-        precision="3pass", interpret=interpret,
+        precision=precision, interpret=interpret,
     )
     dv, pos = topk_smallest(vals, k)
     rsel = jnp.take_along_axis(rows, jnp.maximum(pos, 0), axis=1)
@@ -577,22 +589,27 @@ def _flat_search_fused_program(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "q_tile", "w", "c_groups", "metric", "interpret"),
+    static_argnames=(
+        "k", "q_tile", "w", "c_groups", "metric", "precision", "interpret"
+    ),
 )
 def _ivf_search_dense_fused_program(
     queries,  # (nq_pad, d) f32, nq_pad % q_tile == 0, d % 128 == 0
     centroids_ord,  # (kc, d) — centroid table REORDERED to layout-run order
     c_sq_ord,  # (kc,)
-    vectors,  # (n_pad, d) cluster-permuted, runs ALIGN-aligned
+    vectors,  # (n_pad, d) cluster-permuted — int8 under the int8 precisions
     row_norms,  # (n_pad,) — SENTINEL_NORM on gap/tail rows
     run_starts_b,  # (kc,) int32 — run begin BLOCKS, ascending layout order
     n_probe,  # () int32 — TRACED so one compile serves a whole nprobe sweep
+    vec_resid=None,  # (n_pad, d) int8 fixed-point residual (prec 'int8')
+    scale_row=None,  # (n_pad,) f32 per-row int8 scales (int8 precisions)
     *,
     k: int,
     q_tile: int,
     w: int,
     c_groups: int,
     metric: str = "l2",
+    precision: str = "3pass",
     interpret: bool = False,
 ):
     """Masked dense path through the fused Pallas kernel: the same
@@ -635,12 +652,13 @@ def _ivf_search_dense_fused_program(
         mask_b = jnp.pad(mask_b, ((0, 0), (0, mcols - nb)))
 
     vals, rows = flat_sweep_topk_plane(
-        queries, vectors, row_norms, mask_b,
+        queries, vectors, row_norms, mask_b, vec_resid, scale_row,
         metric=metric, w=w, c_groups=c_groups, q_tile=q_tile,
-        precision="3pass", interpret=interpret,
+        precision=precision, interpret=interpret,
     )
-    # 3pass sweep, no shortlist re-rank — same precision contract and
-    # measured trade-offs as the flat fused program (see its docstring).
+    # 3pass sweep (or the explicit int8 modes), no shortlist re-rank —
+    # same precision contract and measured trade-offs as the flat fused
+    # program (see its docstring).
     dv, pos = topk_smallest(vals, k)
     rsel = jnp.take_along_axis(rows, jnp.maximum(pos, 0), axis=1)
     if metric == "l2":
@@ -1201,6 +1219,22 @@ class IvfIndex:
             self._perm_dev_lay = lay
         return self._perm_dev
 
+    def _sweep_int8_tables(self):
+        """Fixed-point int8 twin of the layout table for the int8 fused
+        sweeps (methods 'flat_int8'/'dense_int8' and their x1 variants):
+        (x8, r8, scales) from quantize_table_int8, built on device once
+        per layout object (~n*d*2 bytes HBM alongside the f32 table)."""
+        lay = self.layout
+        if (
+            getattr(self, "_sweep_q", None) is None
+            or self._sweep_q_lay is not lay
+        ):
+            from ..ops.pallas.flat_sweep import quantize_table_int8
+
+            self._sweep_q = quantize_table_int8(lay.vectors)
+            self._sweep_q_lay = lay
+        return self._sweep_q
+
     def search_batch_device(
         self,
         queries: np.ndarray,
@@ -1282,6 +1316,43 @@ class IvfIndex:
             method = self.choose_method(nq, n_probe)
 
         centroids, c_sq = self._device_tables()
+        # Explicit int8 fixed-point sweeps (faiss-SQ8-style approximate
+        # operating points): 'flat_int8'/'dense_int8' run 3 int8 MXU
+        # passes (~1.5 bf16-pass-equivalents, half the serving 3pass's
+        # MXU time and half its sweep bytes; isotropic R@10 ~0.999);
+        # the '*_int8x1' variants run ONE pass (~6x less MXU; R@10
+        # ~0.98). CPU / odd-d / over-VMEM / d>2048 degrade to the exact
+        # XLA twins, mirroring the fused methods' fallback.
+        if method in ("flat_int8", "flat_int8x1", "dense_int8", "dense_int8x1"):
+            prec = "int8x1" if method.endswith("x1") else "int8"
+            is_flat = method.startswith("flat")
+            plan = None
+            if d % 128 == 0 and jax.default_backend() != "cpu":
+                from ..ops.pallas.flat_sweep import plan_fused
+
+                plan = plan_fused(
+                    lay.vectors.shape[0], d, nq, k, precision=prec
+                )
+            if plan is None:
+                method = "flat" if is_flat else "dense"
+            else:
+                w, q_tile, c_groups = plan
+                x8, r8, srow = self._sweep_int8_tables()
+                resid = r8 if prec == "int8" else None
+                if is_flat:
+                    return _flat_search_fused_program(
+                        pad_to(q_tile), x8, lay.row_norms, resid, srow,
+                        k=k, q_tile=q_tile, w=w, c_groups=c_groups,
+                        metric=metric, precision=prec,
+                    )
+                run_starts_b, centroids_ord, c_sq_ord = self._run_tables()
+                return _ivf_search_dense_fused_program(
+                    pad_to(q_tile), centroids_ord, c_sq_ord, x8,
+                    lay.row_norms, run_starts_b, jnp.int32(n_probe),
+                    resid, srow,
+                    k=k, q_tile=q_tile, w=w, c_groups=c_groups,
+                    metric=metric, precision=prec,
+                )
         # 'flat_xla' pins the XLA sweep+top_k program (A/B baseline for the
         # fused default; also what 'flat' was before the 2026-08-18 flip).
         if method in ("flat", "flat_exact", "flat_fused", "flat_xla"):

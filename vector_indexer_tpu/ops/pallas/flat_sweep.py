@@ -42,6 +42,17 @@ expansion matmul m @ E with E[r, 8r..8r+7] = 1 — exact in bf16 (0/1
 values), and ~w/48 of the main distance matmul's MXU passes (17% at
 w=8), far cheaper than materializing a row-level mask in HBM.
 
+Sweep precisions: 'highest' (6 bf16 MXU passes, exact f32), '3pass'
+(bf16 hi/lo split, 3 passes — the serving default; values within f32
+noise of exact), and the explicit approximate modes 'int8' / 'int8x1'
+(fixed-point int8 over a pre-quantized table from
+``quantize_table_int8``; int8 MXU passes run at 2x the bf16 rate, so
+'int8' ~= 1.5 and 'int8x1' ~= 0.5 bf16-pass-equivalents, at 2 B / 1 B
+per element of HBM traffic). The int8 residual scales are pinned to
+1/SHIFT of the main scales so all int8 cross terms accumulate in ONE
+int32 plane — the dequant epilogue costs one cast + two muls regardless
+of pass count (the VPU epilogue, not the MXU, is the int8 modes' floor).
+
 Reference parity: TPU replacement for the reference's exhaustive re-rank
 loop at flat operating points (/root/reference/src/ivf_index.rs:251-266);
 selection replaces the full candidate sort (ivf_index.rs:264-266).
@@ -58,6 +69,31 @@ from jax.experimental.pallas import tpu as pltpu
 
 S = 128  # survivor lanes per grid step (one full lane register)
 MASK_ALIGN = 8  # rows per mask element (== storage.layout.ALIGN)
+
+# Fixed-point int8 sweep (precision='int8'/'int8x1'): residual and query
+# -residual scales are pinned to 1/SHIFT of the main scales so the three
+# int8 cross terms accumulate in ONE int32 plane before a single
+# dequantizing epilogue (see _window_min_step). SHIFT=64 bounds the int32
+# accumulator at 64*127^2*d — safe through d=2048.
+SHIFT = 64
+INT8_MAX_D = 2048
+
+
+@jax.jit
+def quantize_table_int8(vectors):
+    """Per-row symmetric int8 quantization with an int8 fixed-point
+    residual: x ~= sx*x8 + (sx/SHIFT)*r8, sx = max|row|/127. The residual
+    bounds the reconstruction error at sx/(2*SHIFT) (~1e-4 absolute for
+    unit-variance rows) — near-f32 table fidelity at 2 bytes/element.
+    Zero (gap/tail) rows quantize to zeros under the 1e-30 scale guard.
+    Returns (x8 (n,d) int8, r8 (n,d) int8, sx (n,) f32)."""
+    ax = jnp.max(jnp.abs(vectors), axis=1, keepdims=True)
+    sx = jnp.maximum(ax, 1e-30) / 127.0
+    x8 = jnp.round(vectors / sx).astype(jnp.int8)
+    r8 = jnp.round(
+        (vectors - x8.astype(jnp.float32) * sx) * (SHIFT / sx)
+    ).astype(jnp.int8)
+    return x8, r8, sx[:, 0]
 
 
 def pick_window(n_rows: int, k: int) -> int:
@@ -84,7 +120,7 @@ def pick_groups(n_rows: int, w: int, k: int) -> int:
     return c
 
 
-def plan_fused(n_rows: int, d: int, nq: int, k: int):
+def plan_fused(n_rows: int, d: int, nq: int, k: int, precision: str = "highest"):
     """(w, q_tile, c_groups) sized to VMEM, or None if the fused path
     should not be used for this operating point.
 
@@ -106,8 +142,17 @@ def plan_fused(n_rows: int, d: int, nq: int, k: int):
     # keeps w as large as VMEM/loss allow (fewer steps) and only then
     # sizes q_tile; the perf lever is the matmul pass count (see the
     # '3pass' precision mode), not the sweep byte count.
+    int8_mode = precision in ("int8", "int8x1")
+    if int8_mode and d > INT8_MAX_D:
+        # int32 accumulator bound (SHIFT*127^2*d) — fall back to XLA.
+        return None
+    # Table-block bytes/element: f32 sweeps read one 4 B ref; 'int8' reads
+    # two 1 B refs (values + residual); 'int8x1' one 1 B ref.
+    xb = {"int8": 2, "int8x1": 1}.get(precision, 4)
+    # int8 adds an int32 cross-term transient before the f32 dequant.
+    trans = 3 if int8_mode else 2
     w = pick_window(n_rows, k)
-    while w > 4 and 2 * (S * w) * d * 4 > 6 << 20:
+    while w > 4 and 2 * (S * w) * d * xb > 6 << 20:
         w //= 2
     c = pick_groups(n_rows, w, k)
     cs = c * S
@@ -119,10 +164,10 @@ def plan_fused(n_rows: int, d: int, nq: int, k: int):
     for q_tile in (512, 256, 128, 64):
         nb = S * w
         need = (
-            2 * nb * d * 4
+            2 * nb * d * xb
             + q_tile * d * 4
             + 4 * q_tile * c * S * 4
-            + 2 * q_tile * nb * 4
+            + trans * q_tile * nb * 4
         )
         if need <= 13 << 20:
             return w, min(q_tile, max(8, -(-nq // 8) * 8)), c
@@ -135,14 +180,65 @@ def _window_min_step(
     """Shared per-grid-step body of both sweep kernels: distance matmul
     (precision ``prec``), sentinel/tail/mask handling, then the w-way
     strided windowed arg-min. Returns (step_v (Q, S), step_i (Q, S))
-    where step_i are global table row ids."""
+    where step_i are global table row ids.
+
+    Ref order: q, x, (resid if prec=='int8'), norms, (scales if int8
+    mode), (mask, expand if masked)."""
     NB = S * w
+    it = iter(refs)
+    q_ref = next(it)
+    x_ref = next(it)
+    r_ref = next(it) if prec == "int8" else None
+    n_ref = next(it)
+    s_ref = next(it) if prec in ("int8", "int8x1") else None
+    m_ref = e_ref = None
     if masked:
-        q_ref, x_ref, n_ref, m_ref, e_ref = refs
-    else:
-        q_ref, x_ref, n_ref = refs
-    x = x_ref[:]  # (NB, d) f32 table rows
-    if prec == "3pass":
+        m_ref = next(it)
+        e_ref = next(it)
+    if prec in ("int8", "int8x1"):
+        # Fixed-point int8 sweep: table rows arrive pre-quantized
+        # (x ~= sx*x8 + (sx/SHIFT)*r8, quantize_table_int8); queries are
+        # quantized in-kernel per step (q ~= sq*q8 + (sq/SHIFT)*qr8 —
+        # (Q, d) VPU work, negligible vs the (Q, NB) epilogue). Pinning
+        # the residual scales to main/SHIFT lets all three int8 cross
+        # terms accumulate in ONE int32 plane, so the dequant epilogue
+        # costs one cast + two muls regardless of pass count. int8 MXU
+        # passes run at 2x the bf16 rate, so 'int8' ~= 1.5 and 'int8x1'
+        # ~= 0.5 bf16-pass-equivalents vs 3 for '3pass' and 6 for
+        # HIGHEST. Values are approximate: the dropped qr8.r8 term and
+        # the int8 grids bound the cross error at ~1e-2 ('int8') /
+        # ~0.3 ('int8x1') absolute for unit-variance d=128 data — row
+        # norms stay exact f32, so the error enters via the cross term
+        # only (measured isotropic n=100k R@10: 0.999 / 0.98).
+        def _doti(a, b):
+            return jax.lax.dot_general(
+                a, b, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+
+        q = q_ref[:]
+        sq = (
+            jnp.maximum(jnp.max(jnp.abs(q), axis=1, keepdims=True), 1e-30)
+            / 127.0
+        )
+        inv = 1.0 / sq
+        q8 = jnp.round(q * inv).astype(jnp.int8)
+        x8 = x_ref[:]
+        if prec == "int8":
+            qr = q - q8.astype(jnp.float32) * sq
+            qr8 = jnp.round(qr * (inv * float(SHIFT))).astype(jnp.int8)
+            t = (
+                SHIFT * _doti(q8, x8)
+                + _doti(q8, r_ref[:])
+                + _doti(qr8, x8)
+            )
+            row_mul = s_ref[0, :] * (1.0 / SHIFT)
+        else:
+            t = _doti(q8, x8)
+            row_mul = s_ref[0, :]
+        cross = t.astype(jnp.float32) * row_mul[None, :] * sq
+    elif prec == "3pass":
+        x = x_ref[:]  # (NB, d) f32 table rows
         # bf16 hi/lo split product: qh.xh + qh.xl + ql.xh — halves the
         # MXU passes vs HIGHEST (TPU HIGHEST = 6 bf16 passes; Mosaic has
         # no HIGH). The dropped ql.xl term is <= 2^-18 of |q||x|, BELOW
@@ -165,7 +261,7 @@ def _window_min_step(
         cross = _dot(qh, xh) + _dot(qh, xl) + _dot(ql, xh)
     else:
         cross = jax.lax.dot_general(
-            q_ref[:], x, (((1,), (1,)), ((), ())),
+            q_ref[:], x_ref[:], (((1,), (1,)), ((), ())),
             precision=prec,
             preferred_element_type=jnp.float32,
         )  # (Q, NB) exact f32
@@ -214,9 +310,12 @@ def _acc_kernel_factory(
 ):
     # 'highest': one 6-bf16-pass exact dot. '3pass': bf16 hi/lo split
     # (see _window_min_step) — Mosaic rejects Precision.HIGH, so the
-    # 3-pass decomposition is spelled out manually.
+    # 3-pass decomposition is spelled out manually. 'int8'/'int8x1':
+    # fixed-point int8 passes over a pre-quantized table.
     prec = (
-        jax.lax.Precision.HIGHEST if precision == "highest" else "3pass"
+        jax.lax.Precision.HIGHEST
+        if precision == "highest"
+        else precision
     )
 
     def kernel(*refs):
@@ -262,9 +361,11 @@ def _acc_kernel_factory(
 )
 def flat_sweep_topk_plane(
     queries,  # (nq_pad, d) f32, nq_pad % q_tile == 0
-    vectors,  # (n_rows, d) f32 table (cluster-permuted or raw)
+    vectors,  # (n_rows, d) f32 table — int8 under the int8 precisions
     row_norms,  # (n_rows,) f32; SENTINEL_NORM on gap/tail rows
     mask_b=None,  # optional (nq_pad, nj*NB/MASK_ALIGN) f32 block mask
+    vec_resid=None,  # (n_rows, d) int8 fixed-point residual (prec 'int8')
+    scale_row=None,  # (n_rows,) f32 per-row int8 scales (int8 precisions)
     *,
     metric: str = "l2",
     w: int = 8,
@@ -308,16 +409,34 @@ def flat_sweep_topk_plane(
     CS = c_groups * S
 
     masked = mask_b is not None
+    int8_mode = precision in ("int8", "int8x1")
+    if int8_mode:
+        assert vectors.dtype == jnp.int8 and scale_row is not None
+        assert (precision != "int8") or (vec_resid is not None)
+        assert d <= INT8_MAX_D  # int32 accumulator bound (SHIFT*127^2*d)
     kernel = _acc_kernel_factory(
         d, w, c_groups, metric, masked, n_rows, precision
     )
 
+    table_spec = pl.BlockSpec(
+        (NB, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+    )
+    row_spec = pl.BlockSpec(
+        (1, NB), lambda i, j: (0, j), memory_space=pltpu.VMEM
+    )
     in_specs = [
         pl.BlockSpec((q_tile, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((NB, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, NB), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        table_spec,
     ]
-    args = [queries, vectors, row_norms.reshape(1, -1)]
+    args = [queries, vectors]
+    if precision == "int8":
+        in_specs.append(table_spec)
+        args.append(vec_resid)
+    in_specs.append(row_spec)
+    args.append(row_norms.reshape(1, -1))
+    if int8_mode:
+        in_specs.append(row_spec)
+        args.append(scale_row.reshape(1, -1))
     if masked:
         in_specs.append(
             pl.BlockSpec(
@@ -353,9 +472,17 @@ def flat_sweep_topk_plane(
         out_specs=(acc_spec, acc_spec, acc_spec, acc_spec),
         out_shape=(acc_shape, idx_shape, acc_shape, idx_shape),
         cost_estimate=pl.CostEstimate(
-            flops=(6 if precision == "highest" else 3)
+            # bf16-pass-equivalents: HIGHEST=6, 3pass=3, int8~1.5 (3 int8
+            # passes at 2x rate), int8x1~0.5 (rounded up for the int ones).
+            flops={"highest": 6, "3pass": 3, "int8": 2, "int8x1": 1}[
+                precision
+            ]
             * 2 * nq_pad * n_rows * d,
-            bytes_accessed=ni * n_rows * d * 4 + 4 * nq_pad * CS * 4,
+            bytes_accessed=(
+                ni * n_rows * d
+                * {"int8": 2, "int8x1": 1}.get(precision, 4)
+                + 4 * nq_pad * CS * 4
+            ),
             transcendentals=0,
         ),
         interpret=interpret,
