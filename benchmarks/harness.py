@@ -93,12 +93,17 @@ def work_accounting(core, xq: np.ndarray, n_probe: int, method: str) -> dict:
         # tile (headline k=100 operating point assumed for the plan);
         # '*_xla' pins the XLA program.
         int8_mode = "_int8" in method
+        # Same gate the dispatch applies before even planning the int8
+        # kernel (ivf.py int8 branch: d % 128 == 0 and non-CPU backend).
+        kernel_ok = d % 128 == 0 and jax.default_backend() != "cpu"
+        if int8_mode and not kernel_ok:
+            method = "flat" if method.startswith("flat") else "dense"
+            int8_mode = False
         fused = method.endswith("_fused") or int8_mode or (
             method in ("flat", "dense")
             and _FUSED_SWEEP_ON
             and lay.n > 50_000
-            and d % 128 == 0
-            and jax.default_backend() != "cpu"
+            and kernel_ok
         )
         # int8 fixed-point sweeps read 2 B/element (values + residual);
         # the 1-pass x1 variants read 1 B. Exact paths read the f32 table.
@@ -118,6 +123,13 @@ def work_accounting(core, xq: np.ndarray, n_probe: int, method: str) -> dict:
             )
             if plan is not None:
                 q_tile = plan[1]
+            elif int8_mode:
+                # Mirror the dispatch (ivf.py int8 branch): when the fused
+                # plan declines the shape, the int8 methods degrade to the
+                # exact f32 XLA twin — report THAT method and its bytes,
+                # not the int8 label at 1-2 B/element.
+                method = "flat" if method.startswith("flat") else "dense"
+                elem_bytes = 4
         bytes_q = table_rows * d * elem_bytes / q_tile  # table sweep per tile
     elif method.startswith("stream"):
         from vector_indexer_tpu.ops.pallas.block_stream import (
@@ -259,16 +271,36 @@ def save_results(
     with open(os.path.join(out_dir, "results.json"), "w") as f:
         json.dump(payload, f, indent=2)
     with open(os.path.join(out_dir, "results.md"), "w") as f:
+        # Build/train+add wall-clock preamble (the reference times the
+        # build too, bench_all_ivf.py:396-399,450-453).
+        for key in (
+            "build_seconds", "build_spill_seconds", "load_seconds",
+            "gt_seconds",
+        ):
+            val = (extra or {}).get(key, config.get(key))
+            if val is not None:
+                name = key[: -len("_seconds")].replace("_", " ")
+                f.write(f"**{name} wall**: {float(val):.1f} s\n\n")
+        # Only the rank columns the run actually produced (k<100 sweeps
+        # have no R@100 — omit the column rather than print nan).
+        ranks = [
+            rank for rank in (1, 10, 100)
+            if any(f"r@{rank}" in r.recalls for r in results)
+        ]
+        rcols = "".join(f" R@{rank} |" for rank in ranks)
         f.write(
-            "| nprobe | R@1 | R@10 | R@100 | ms/query | QPS | runs "
+            f"| nprobe |{rcols} ms/query | QPS | runs "
             "| method | cand/q | MB/q |\n"
         )
-        f.write("|---|---|---|---|---|---|---|---|---|---|\n")
+        f.write("|---" * (7 + len(ranks)) + "|\n")
         for r in results:
+            rvals = "".join(
+                f" {r.recalls[f'r@{rank}']:.4f} |"
+                if f"r@{rank}" in r.recalls else " — |"
+                for rank in ranks
+            )
             f.write(
-                f"| {r.nprobe} | {r.recalls.get('r@1', float('nan')):.4f} | "
-                f"{r.recalls.get('r@10', float('nan')):.4f} | "
-                f"{r.recalls.get('r@100', float('nan')):.4f} | "
+                f"| {r.nprobe} |{rvals} "
                 f"{r.ms_per_query:.4f} | {r.qps:,.0f} | {r.nrun} "
                 f"| {r.method} | {r.cand_per_q:,.0f} | {r.mb_per_q:.2f} |\n"
             )

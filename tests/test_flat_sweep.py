@@ -486,6 +486,73 @@ def test_topk_plane_int8_modes(prec, floor, derr):
     assert hits / (10 * nq) >= floor
 
 
+@pytest.mark.parametrize("prec,derr", [("int8", 0.05), ("int8x1", 1.5)])
+def test_topk_plane_int8_modes_ip(prec, derr):
+    """ip-metric twin of test_topk_plane_int8_modes: the int8 epilogue's
+    ip branch (dist = sentinel-or-0 minus the dequantized cross term,
+    flat_sweep.py _window_min_step) must track -q.x within the mode's
+    error band and hold top-10 recall vs the exact oracle."""
+    from vector_indexer_tpu.ops.pallas.flat_sweep import quantize_table_int8
+
+    n, d, nq = 5000, 128, 16
+    x, q, norms = _mk(n, d, nq, seed=13)
+    x8, r8, sx = quantize_table_int8(jnp.asarray(x))
+    vals, rows = flat_sweep_topk_plane(
+        jnp.asarray(q), x8, jnp.asarray(norms), None,
+        r8 if prec == "int8" else None, sx,
+        metric="ip", w=8, c_groups=4, q_tile=8,
+        precision=prec, interpret=True,
+    )
+    vals, rows = np.asarray(vals), np.asarray(rows)
+    dist = -(q @ x.T)  # smaller = better under the kernel's ip convention
+    fin = np.isfinite(vals)
+    assert (rows[~fin] == -1).all()
+    err = np.abs(vals[fin] - dist[np.nonzero(fin)[0], rows[fin]])
+    assert err.max() <= derr
+    hits = 0
+    for i in range(nq):
+        top10 = rows[i][np.argsort(vals[i])[:10]]
+        hits += len(set(top10.tolist()) & set(np.argsort(dist[i])[:10].tolist()))
+    assert hits / (10 * nq) >= 0.9
+
+
+def test_int8_program_cosine_matches_exact_twin():
+    """Program level, cosine metric: the int8 flat fused program (which
+    normalizes queries before the ip ranking) returns the same NN and
+    nearly the same top-k set as its exact cosine twin."""
+    from vector_indexer_tpu.index import IvfIndex
+    from vector_indexer_tpu.index.ivf import _flat_search_fused_program
+    from vector_indexer_tpu.ops.pallas.flat_sweep import quantize_table_int8
+    from vector_indexer_tpu.storage import VectorStore
+
+    rng = np.random.default_rng(7)
+    n, d, nq, k = 4000, 128, 16, 10
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    store = VectorStore(
+        external_ids=np.arange(n, dtype=np.uint64), vectors=data
+    )
+    idx = IvfIndex.fit(store, nlist=16, seed=42, metric="cosine")
+    lay = idx.layout
+    q = data[:nq] + rng.normal(0, 0.05, (nq, d)).astype(np.float32)
+    qn = jnp.asarray(q / np.linalg.norm(q, axis=1, keepdims=True))
+    x8, r8, sx = quantize_table_int8(lay.vectors)
+
+    Di, Ii = _flat_search_fused_program(
+        qn, x8, lay.row_norms, r8, sx,
+        k=k, q_tile=8, w=8, c_groups=2, metric="ip",
+        precision="int8", interpret=True,
+    )
+    De, Ie = _flat_search_fused_program(
+        qn, lay.vectors, lay.row_norms,
+        k=k, q_tile=8, w=8, c_groups=2, metric="ip", interpret=True,
+    )
+    Ii, Ie, Di, De = map(np.asarray, (Ii, Ie, Di, De))
+    assert (Ii[:, 0] == Ie[:, 0]).all()  # self-hit NN survives int8 cosine
+    overlap = np.mean([len(set(Ii[i]) & set(Ie[i])) for i in range(nq)])
+    assert overlap >= k - 1
+    assert np.abs(Di - De).max() <= 5e-2
+
+
 def test_int8_fused_programs_match_exact_twin():
     """Program level: the int8 flat and masked-dense fused programs return
     (nearly) the same result set as their exact twins on a real built

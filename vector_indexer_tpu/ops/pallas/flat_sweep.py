@@ -73,10 +73,15 @@ MASK_ALIGN = 8  # rows per mask element (== storage.layout.ALIGN)
 # Fixed-point int8 sweep (precision='int8'/'int8x1'): residual and query
 # -residual scales are pinned to 1/SHIFT of the main scales so the three
 # int8 cross terms accumulate in ONE int32 plane before a single
-# dequantizing epilogue (see _window_min_step). SHIFT=64 bounds the int32
-# accumulator at 64*127^2*d — safe through d=2048.
+# dequantizing epilogue (see _window_min_step). Worst-case accumulator
+# magnitude is SHIFT*127^2*d (main term) + 2*(SHIFT/2)*127*d (the two
+# residual cross terms — residual codes round a half-grid-step remainder
+# scaled by SHIFT, so they are bounded by SHIFT/2 = 32, not 127) =
+# ~2.131e9 at d=2048 — inside int32 (2.147e9) with only ~0.8% headroom.
+# Any SHIFT or INT8_MAX_D bump must re-check the assert below.
 SHIFT = 64
 INT8_MAX_D = 2048
+assert (SHIFT * 127 + 2 * (SHIFT // 2)) * 127 * INT8_MAX_D < 2**31
 
 
 @jax.jit
