@@ -443,6 +443,31 @@ def choose_sweep_body(
     return "dense" if dense_q <= stream_q else "stream"
 
 
+def _host_topk(exact, internal, k: int):
+    """No-dedup host top-k: argpartition to the k head, then sort only the
+    head. Unspilled candidate lists are duplicate-free by construction
+    (each vector lives in exactly one cell), so the dedup sort chain below
+    is pure overhead there — measured 57 ms vs 5 ms per kilobatch at
+    kk=400 on this host. Same +inf/-1 padding contract."""
+    exact = np.where(internal >= 0, exact, np.inf).astype(np.float32)
+    kw = min(k, exact.shape[1])
+    if kw < exact.shape[1]:
+        part = np.argpartition(exact, kw - 1, axis=1)[:, :kw]
+        dpart = np.take_along_axis(exact, part, axis=1)
+        o = np.argsort(dpart, axis=1, kind="stable")
+        sel = np.take_along_axis(part, o, axis=1)
+    else:
+        sel = np.argsort(exact, axis=1, kind="stable")
+    D = np.take_along_axis(exact, sel, axis=1)
+    I = np.where(
+        np.isfinite(D), np.take_along_axis(internal, sel, axis=1), -1
+    )
+    if kw < k:
+        D = np.pad(D, ((0, 0), (0, k - kw)), constant_values=np.inf)
+        I = np.pad(I, ((0, 0), (0, k - kw)), constant_values=-1)
+    return D, I.astype(np.int64)
+
+
 def _host_dedup_topk(exact, internal, k: int):
     """Host-side twin of _dedup_topk: sort a (nq, kk) candidate list by
     distance, drop duplicate internal ids (first occurrence = smallest
@@ -1166,8 +1191,14 @@ class IvfIndex:
             queries = queries[None, :]
         nq = queries.shape[0]
         spill = getattr(self, "spill", 0)
-        wide = 4 if jnp.dtype(self.stream_dtype) == jnp.int8 else 2
-        kk = (1 + spill) * min(max(wide * k, 64 * (wide // 2)), 4096)
+        # Shortlist width: 2*k (floor 128) — measured at n=1M clustered
+        # d=128: the exact top-100 from a 2*k int8-ranked shortlist is
+        # IDENTICAL to the 4*k one at nprobe 8/16/32 (top-100 overlap
+        # 1.0000), while the host gather+GEMM cost halves. Override via
+        # `_offload_rerank_mult` for adversarial corpora whose int8
+        # per-cluster error exceeds the top-k distance gaps.
+        mult = getattr(self, "_offload_rerank_mult", 2)
+        kk = (1 + spill) * min(max(mult * k, 128), 4096)
         _, rows = self.search_batch_device(
             queries, kk, n_probe, "stream", _raw=True
         )
@@ -1182,11 +1213,12 @@ class IvfIndex:
         cand = self._host_data[np.maximum(internal, 0)].astype(
             np.float32, copy=False
         )  # (nq, kk, d)
-        # Single pass over the gathered rows (np.einsum's nd,nkd->nk does
-        # not dispatch to BLAS — measured ~100x slower on this host — and
-        # batched matmul issues nq separate gemv calls); corpus norms are
-        # precomputed once so the rerank touches cand exactly once.
-        cross = (cand * q[:, None, :]).sum(-1)
+        # Batched (nq, kk, d) @ (nq, d, 1) matmul: measured 132 ms vs 241
+        # for an elementwise multiply+reduce at kk=400 (the multiply path
+        # materializes and re-reads a 210 MB temp; matmul streams the
+        # gathered block once through BLAS). Corpus norms are precomputed
+        # once so the rerank touches cand exactly once.
+        cross = np.matmul(cand, q[:, :, None])[..., 0]
         if self.metric == "l2":
             if getattr(self, "_host_norms", None) is None:
                 hd = self._host_data.astype(np.float32, copy=False)
@@ -1199,9 +1231,11 @@ class IvfIndex:
             )
         else:
             exact = -cross
-        # Sort by exact distance, drop duplicate ids, take k (shared with
-        # the host-resident staged path).
-        return _host_dedup_topk(exact, internal, k)
+        # Sort by exact distance and take k; the dedup pass is only needed
+        # on spilled indexes (a vector can surface from both its cells).
+        if spill:
+            return _host_dedup_topk(exact, internal, k)
+        return _host_topk(exact, internal, k)
 
     def _perm_dev_table(self):
         """Device int32 map layout row -> internal id (-1 on gap/tail rows),
