@@ -1,19 +1,29 @@
-"""Headline benchmark: QPS at recall@10 >= 0.95 on the reference's default
-synthetic operating point (n=100k, d=128, nq=1000, k=100, seed=42 — the
-defaults of /root/reference/bench/faiss_bench_official/bench_all_ivf.py:583-597),
+"""Headline benchmark in TWO stages.
+
+Stage 1 — reference-parity synthetic operating point (n=100k, d=128,
+nq=1000, k=100, seed=42 — the defaults of
+/root/reference/bench/faiss_bench_official/bench_all_ivf.py:583-597),
 with the reference's timing methodology (repeat the full query set until
 min_test_duration, then average — bench_all_ivf.py:314-326) and recall
-definition (true NN in top-10 — bench_all_ivf.py:336-350).
+definition (true NN in top-10 — bench_all_ivf.py:336-350). On isotropic
+noise at this scale the exhaustive fused sweep is Pareto-optimal — the
+stage states that rather than hiding it.
+
+Stage 2 — the IVF-wins regime the index exists for: a clustered
+(SIFT-shaped) corpus at n=1M, where selective probing reaches the recall
+floor while sweeping a small fraction of the table's bytes. The DRIVER
+HEADLINE (the JSON "value") is stage 2's best floor-meeting SELECTIVE
+point (cand/q << n and bytes/q << flat's), so the recorded number
+demonstrates the index, not just the MXU; the flat contrast at the same
+scale is a separate JSON field.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": QPS, "unit": "qps", "vs_baseline": x}
+  {"metric": ..., "value": QPS, "unit": "qps", "vs_baseline": x,
+   "flat_1m_qps": ..., "stage1_qps": ..., "stage1_winner": ...}
 
-Honesty rules (round-3):
-  * the sweep runs nprobe up to 512, on BOTH a reference-parity single-
-    assignment index ("ivf") and a SOAR-spilled one ("ivf+spill"), plus the
-    flat exhaustive point — whichever operating points actually reach the
-    0.95 floor are eligible for the headline, and the winning config/method
-    is named in the output;
+Honesty rules (round-3, kept):
+  * both stages sweep real operating points and name the winning
+    config/method; only floor-meeting points are headline-eligible;
   * every row reports candidates-ranked and bytes-swept per query (faiss
     `ndis` parity, bench_all_ivf.py:326-361), so a masked full sweep can
     never masquerade as selective probing;
@@ -21,9 +31,10 @@ Honesty rules (round-3):
     reached; if no path on either side meets the floor, the comparison says
     so instead of implying both sides met it.
 
-vs_baseline = TPU QPS / CPU IVF-Flat QPS. The CPU comparator is a batched
-multi-threaded-BLAS numpy IVF-Flat (benchmarks/cpu_ivf.py) standing in for
-faiss-CPU, which is unavailable in this image (BASELINE.md).
+vs_baseline = TPU QPS / CPU IVF-Flat QPS on the SAME stage-2 corpus and
+trained index. The CPU comparator is a batched multi-threaded-BLAS numpy
+IVF-Flat (benchmarks/cpu_ivf.py) standing in for faiss-CPU, which is
+unavailable in this image (BASELINE.md).
 
 Run `python bench.py --full` for the complete report (JSON + Markdown under
 bench_results/) with a small-batch latency section.
@@ -96,6 +107,87 @@ def _sweep(index, xq, xq_dev, gt, k, nprobes, min_time, tag, points=None):
     return rows
 
 
+def _stage2(args):
+    """Stage 2: clustered (SIFT-shaped) corpus at large n — the IVF-wins
+    regime (reference protocol analog: SIFT1M sweep,
+    bench_all_ivf.py:371-480). Returns (rows, cpu_best, extras) or None on
+    any device/build failure (stage 1 already produced a usable headline).
+    """
+    from vector_indexer_tpu import bindings
+    from vector_indexer_tpu.ops import brute_force_topk
+    from benchmarks.cpu_ivf import (
+        NumpyIvfFlat,
+        best_qps_at_recall,
+        labels_from_layout,
+    )
+
+    n, d, nq, k = args.stage2_n, 128, 1024, 100
+    g = np.random.default_rng(args.seed)
+    ncent = max(64, min(1024, n // 1000))
+    centers = g.normal(0, 4.0, size=(ncent, d)).astype(np.float32)
+    xb = np.empty((n, d), np.float32)
+    for s in range(0, n, 500_000):
+        e = min(s + 500_000, n)
+        xb[s:e] = (
+            centers[g.integers(0, ncent, e - s)]
+            + g.normal(0, 1.0, (e - s, d))
+        ).astype(np.float32)
+    xq = (
+        centers[g.integers(0, ncent, nq)] + g.normal(0, 1.0, (nq, d))
+    ).astype(np.float32)
+
+    t0 = time.perf_counter()
+    _, gt = brute_force_topk(xq, xb, 1)  # recall needs the true NN only
+    gt = np.asarray(gt)
+    t_gt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    index = bindings.build(xb, work_dir="/tmp/vix_bench_s2")
+    t_build = time.perf_counter() - t0
+    print(
+        f"# stage2 n={n} d={d} build={t_build:.1f}s gt={t_gt:.1f}s "
+        f"nlist={index.nlist}",
+        file=sys.stderr,
+    )
+
+    # CPU IVF-Flat on the same corpus + trained index (a 512-query subset
+    # bounds the single-host sweep cost; QPS is per-query so comparable).
+    core = index._indexer.index
+    cpu_index = NumpyIvfFlat(
+        xb, np.asarray(core.centroids), labels_from_layout(core.layout, index.nlist, n)
+    )
+    nq_cpu = min(512, nq)
+    cpu_qps, cpu_rows = best_qps_at_recall(
+        cpu_index, xq[:nq_cpu], gt[:nq_cpu], k,
+        [p for p in (2, 4, 8, 16) if p <= index.nlist],
+        min_time=min(args.min_time, 1.0),
+    )
+    for r in cpu_rows:
+        print(
+            f"# stage2 cpu-ivf nprobe={r['nprobe']:4d} R@10={r['r10']:.4f} "
+            f"{r['qps']:,.0f} qps",
+            file=sys.stderr,
+        )
+    cpu_at_floor = [r for r in cpu_rows if r["r10"] >= RECALL_FLOOR]
+    cpu_best = (
+        max(cpu_at_floor, key=lambda r: r["qps"])
+        if cpu_at_floor
+        else max(cpu_rows, key=lambda r: r["r10"])
+    )
+
+    xq_dev = index.stage_queries(xq)
+    nprobes = [p for p in (1, 2, 4, 8, 16, 32) if p <= index.nlist]
+    rows = _sweep(
+        index, xq, xq_dev, gt, k, nprobes, args.min_time, "ivf-1m"
+    )
+    rows += _sweep(
+        index, xq, xq_dev, gt, k, [], args.min_time, "flat-1m",
+        points=[("flat", index.nlist), ("flat_int8", index.nlist)],
+    )
+    extras = dict(n=n, build_seconds=t_build, gt_seconds=t_gt,
+                  nlist=index.nlist, cpu_rows=cpu_rows)
+    return rows, cpu_best, extras
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=100_000)
@@ -107,6 +199,10 @@ def main() -> None:
     p.add_argument("--quick", action="store_true", help="tiny config smoke run")
     p.add_argument("--full", action="store_true", help="write full sweep report")
     p.add_argument(
+        "--stage2-n", type=int, default=1_000_000,
+        help="clustered-corpus stage size (0 disables stage 2)",
+    )
+    p.add_argument(
         "--cpu", action="store_true",
         help="debug: force the CPU backend (numbers meaningless; smoke only)",
     )
@@ -114,6 +210,9 @@ def main() -> None:
 
     if args.quick:
         args.n, args.nq, args.min_time = 20_000, 200, 0.5
+        args.stage2_n = min(args.stage2_n, 50_000)
+    if args.cpu:
+        args.stage2_n = 0  # CPU smoke: stage 1 exercises every code path
 
     import jax
 
@@ -307,12 +406,53 @@ def main() -> None:
         )
     print(f"# verdict: {verdict}", file=sys.stderr)
     print(
-        f"# headline: {best_row['tag']}/{best_row['method']} "
+        f"# stage1 best: {best_row['tag']}/{best_row['method']} "
         f"nprobe={best_row['nprobe']} R@10={best_row.get('r@10', 0):.4f} "
         f"{best_qps:,.0f} qps"
         + ("" if floor_met else "  [RECALL FLOOR NOT MET]"),
         file=sys.stderr,
     )
+
+    # ---- Stage 2: clustered large-n — the IVF-wins regime --------------
+    s2 = None
+    if args.stage2_n:
+        try:
+            s2 = _stage2(args)
+        except Exception as e:  # pragma: no cover - device-dependent
+            print(f"# stage2 failed: {e!r}", file=sys.stderr)
+
+    rows2, best2, flat_row2, cpu2_best, extras2 = [], None, None, None, None
+    if s2 is not None:
+        rows2, cpu2_best, extras2 = s2
+        flat_row2 = next(r for r in rows2 if r["method"] == "flat")
+        at_floor2 = [r for r in rows2 if r.get("r@10", 0.0) >= RECALL_FLOOR]
+        # Headline-eligible = genuinely SELECTIVE floor-meeting points:
+        # ranks a fraction of the corpus AND sweeps a fraction of flat's
+        # bytes (excludes the masked full-table dense sweep).
+        sel2 = [
+            r for r in at_floor2
+            if r["tag"] == "ivf-1m"
+            and r["cand_per_q"] < 0.5 * extras2["n"]
+            and r["mb_per_q"] < 0.5 * flat_row2["mb_per_q"]
+        ]
+        if sel2:
+            best2 = max(sel2, key=lambda r: r["qps"])
+            print(
+                f"# stage2 verdict: selective IVF meets the floor at "
+                f"{best2['qps']:,.0f} qps ({best2['method']} nprobe="
+                f"{best2['nprobe']}, cand/q={best2['cand_per_q']:,.0f} of "
+                f"n={extras2['n']:,}, swept={best2['mb_per_q']:.2f}MB/q vs "
+                f"flat {flat_row2['mb_per_q']:.2f}); flat contrast: "
+                f"{flat_row2['qps']:,.0f} qps at R@10="
+                f"{flat_row2.get('r@10', 0):.4f}",
+                file=sys.stderr,
+            )
+        else:
+            print(
+                "# stage2 verdict: no selective point met the floor "
+                "(falling back to the stage-1 headline)",
+                file=sys.stderr,
+            )
 
     if args.full:
         import os
@@ -351,6 +491,7 @@ def main() -> None:
             cpu_ivf_qps=cpu_qps,
             cpu_ivf_sweep=cpu_rows,
             sweep=rows,
+            stage2=dict(sweep=rows2, **(extras2 or {})) if rows2 else None,
             latency=latency_rows,
             verdict=verdict,
         )
@@ -362,7 +503,7 @@ def main() -> None:
                 "| QPS | cand/q | MB/q |\n"
             )
             f.write("|---|---|---|---|---|---|---|---|---|---|\n")
-            for r in rows:
+            for r in rows + rows2:
                 f.write(
                     f"| {r['tag']} | {r['nprobe']} | {r['method']} | "
                     f"{r.get('r@1', 0):.4f} | {r.get('r@10', 0):.4f} | "
@@ -372,21 +513,54 @@ def main() -> None:
                 )
             f.write(f"\n{verdict}\n")
 
-    metric = (
-        f"QPS at recall@10>={RECALL_FLOOR} (synthetic n={args.n} d={args.d} "
-        f"nq={args.nq} k={args.k}; best of ivf/ivf+spill/flat sweeps, "
-        f"winner={best_row['tag']}/{best_row['method']}@nprobe="
-        f"{best_row['nprobe']})"
+    # Final JSON. Primary value = stage 2's best SELECTIVE floor-meeting
+    # point (the index-wins regime); stage-1 and the flat contrast ride
+    # along as separate fields so round-over-round tracking never
+    # conflates the exhaustive sweep with the IVF win.
+    stage1_winner = (
+        f"{best_row['tag']}/{best_row['method']}@nprobe={best_row['nprobe']}"
+        + ("" if floor_met else " [floor unmet]")
     )
-    if not floor_met:
-        metric += f" [floor unmet; max R@10={best_row.get('r@10', 0):.3f}]"
+    payload = {
+        "stage1_qps": round(best_qps, 1),
+        "stage1_winner": stage1_winner,
+        "stage1_vs_cpu": round(best_qps / max(cpu_best["qps"], 1e-9), 2),
+    }
+    if best2 is not None:
+        metric = (
+            f"QPS at recall@10>={RECALL_FLOOR}, selective IVF on clustered "
+            f"n={extras2['n']} d=128 nq=1024 k=100 "
+            f"(winner={best2['method']}@nprobe={best2['nprobe']}, "
+            f"cand/q={best2['cand_per_q']:.0f}, "
+            f"swept={best2['mb_per_q']:.2f}MB/q vs flat "
+            f"{flat_row2['mb_per_q']:.2f}MB/q)"
+        )
+        value = best2["qps"]
+        vs = value / max(cpu2_best["qps"], 1e-9)
+        payload.update(
+            flat_1m_qps=round(flat_row2["qps"], 1),
+            flat_1m_r10=flat_row2.get("r@10", 0.0),
+            stage2_cpu_ivf_qps=round(cpu2_best["qps"], 1),
+            stage2_build_seconds=round(extras2["build_seconds"], 1),
+        )
+    else:
+        metric = (
+            f"QPS at recall@10>={RECALL_FLOOR} (synthetic n={args.n} "
+            f"d={args.d} nq={args.nq} k={args.k}; best of "
+            f"ivf/ivf+spill/flat sweeps, winner={stage1_winner})"
+        )
+        if not floor_met:
+            metric += f" [floor unmet; max R@10={best_row.get('r@10', 0):.3f}]"
+        value = best_qps
+        vs = best_qps / max(cpu_best["qps"], 1e-9)
     print(
         json.dumps(
             {
                 "metric": metric,
-                "value": round(best_qps, 1),
+                "value": round(value, 1),
                 "unit": "qps",
-                "vs_baseline": round(best_qps / max(cpu_best["qps"], 1e-9), 2),
+                "vs_baseline": round(vs, 2),
+                **payload,
             }
         )
     )

@@ -47,6 +47,35 @@ def test_gather_kernel_matches_reference(rng):
     assert np.isinf(got_d[~finite]).all()
 
 
+def test_gather_kernel_ip_metric(rng):
+    """metric='ip' ranks by -q.x over the same packed slots (cosine is ip
+    over unit vectors, normalized upstream of the kernel)."""
+    d, n = 16, 300
+    vectors = np.zeros((n + 128, d), np.float32)
+    vectors[:n] = rng.normal(size=(n, d)).astype(np.float32)
+    queries = rng.normal(size=(3, d)).astype(np.float32)
+    starts = np.array([[0, 100, 250], [50, 0, 200], [250, 10, 0]], np.int32)
+    lengths = np.array([[10, 25, 50], [5, 0, 40], [50, 3, 1]], np.int32)
+
+    dist, rows = ivf_gather_distances(
+        jnp.asarray(queries), jnp.asarray(vectors),
+        jnp.asarray(starts), jnp.asarray(lengths),
+        max_len=64, budget=128, metric="ip", interpret=True,
+    )
+    got_d, got_r = np.asarray(dist), np.asarray(rows)
+    _, want_r = _reference(queries, vectors, starts, lengths, got_d.shape[1])
+    np.testing.assert_array_equal(got_r, want_r)
+    filled = want_r >= 0
+    want_ip = -np.einsum(
+        "qd,qkd->qk", queries,
+        vectors[np.maximum(want_r, 0)], dtype=np.float64,
+    ).astype(np.float32)
+    np.testing.assert_allclose(
+        got_d[filled], want_ip[filled], rtol=1e-4, atol=1e-4
+    )
+    assert np.isinf(got_d[~filled]).all()
+
+
 def test_gather_kernel_zero_lengths(rng):
     d = 8
     vectors = np.zeros((64, d), np.float32)

@@ -138,7 +138,10 @@ def test_stream_k_exceeds_candidates(built):
 
 
 def test_gather_dma_matches_gather(built):
-    # Range-DMA Pallas kernel path (interpret mode on CPU).
+    # Range-DMA Pallas kernel path (interpret mode on CPU). NOTE: this
+    # fixture is d=24, so the dispatch exercises the documented
+    # lane-alignment FALLBACK to the XLA gather; the kernel itself is
+    # covered at d=128 below and in test_pallas_ivf_gather.py.
     idx, data = built
     Dg, Ig = _run(idx, data[:8], "gather")
     Dd, Id = _run(idx, data[:8], "gather_dma")
@@ -147,6 +150,27 @@ def test_gather_dma_matches_gather(built):
     # f32 reduction-order noise between the kernel's matvec and the XLA
     # einsum; self-hit distances are ~1e-4-scale so compare absolutely.
     np.testing.assert_allclose(np.sort(Dg, 1), np.sort(Dd, 1), rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip", "cosine"])
+def test_gather_dma_kernel_all_metrics_d128(metric):
+    """The range-DMA kernel engages (d=128 passes the lane gate) for every
+    metric and matches the XLA gather's result sets."""
+    data, _, _ = make_gaussian_clusters(
+        8, 90, 128, spread=0.4, separation=8.0
+    )
+    store = VectorStore(
+        external_ids=np.arange(len(data), dtype=np.uint64), vectors=data
+    )
+    idx = IvfIndex.fit(store, seed=42, metric=metric)
+    q = data[:12] + 0.01
+    Dg, Ig = idx.search_batch(q, k=8, n_probe=4, method="gather")
+    Dd, Id = idx.search_batch(q, k=8, n_probe=4, method="gather_dma")
+    for a, b in zip(Ig, Id):
+        assert set(a.tolist()) == set(b.tolist())
+    np.testing.assert_allclose(
+        np.sort(Dg, 1), np.sort(Dd, 1), rtol=1e-3, atol=1e-3
+    )
 
 
 def test_stream_shared_exact_matches_gather(built):

@@ -1565,14 +1565,13 @@ class IvfIndex:
             )
 
             if (
-                metric != "l2"
-                or d % 128 != 0
+                d % 128 != 0
                 or scratch_bytes(n_probe, max(1, lay.max_list_len), d)
                 > VMEM_SCRATCH_CAP
                 or self._budget_for(n_probe) > 32768
             ):
-                # The DMA kernel is l2-only, needs lane-aligned d (Mosaic
-                # rejects dynamic dim-1 slices narrower than the 128-lane
+                # The DMA kernel needs lane-aligned d (Mosaic rejects
+                # dynamic dim-1 slices narrower than the 128-lane
                 # tile), needs (p, max_len, d) f32 of VMEM scratch, and its
                 # packed slots hold at most 32768 candidates (beyond that,
                 # slot clamping would overwrite earlier probes — silent
@@ -1602,6 +1601,7 @@ class IvfIndex:
             dist, rows = ivf_gather_distances(
                 qdev, lay.vectors, starts, lens,
                 max_len=max(1, lay.max_list_len), budget=budget,
+                metric=metric,
                 interpret=jax.default_backend() == "cpu",
             )
             dvals, ci = topk_smallest(dist, k)

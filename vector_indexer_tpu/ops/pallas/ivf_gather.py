@@ -50,7 +50,10 @@ def scratch_bytes(p: int, max_len: int, d: int) -> int:
     return p * _round_up(max(max_len, 8), chunk) * d * 4
 
 
-def _kernel_factory(p: int, max_len_pad: int, d: int, budget_pad: int, chunk: int):
+def _kernel_factory(
+    p: int, max_len_pad: int, d: int, budget_pad: int, chunk: int,
+    metric: str = "l2",
+):
     nchunk = max_len_pad // chunk
 
     def kernel(
@@ -104,9 +107,16 @@ def _kernel_factory(p: int, max_len_pad: int, d: int, budget_pad: int, chunk: in
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )[:, 0]
-        norms = jnp.sum(x * x, axis=1)
-        q_sq = jnp.sum(q * q)
-        dist_all = jnp.maximum(q_sq - 2.0 * cross + norms, 0.0)
+        if metric == "l2":
+            norms = jnp.sum(x * x, axis=1)
+            q_sq = jnp.sum(q * q)
+            dist_all = jnp.maximum(q_sq - 2.0 * cross + norms, 0.0)
+        else:
+            # ip (cosine = ip over unit vectors, normalized upstream):
+            # smaller = better = -q.x. Only REAL posting rows are gathered
+            # (the per-probe valid mask infs the padding), so no sentinel
+            # handling is needed here unlike the sweep kernels.
+            dist_all = -cross
         idx_all = jax.lax.broadcasted_iota(jnp.int32, (p * max_len_pad, 1), 0)[:, 0]
 
         for j in range(p):
@@ -129,7 +139,7 @@ def _kernel_factory(p: int, max_len_pad: int, d: int, budget_pad: int, chunk: in
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_len", "budget", "interpret")
+    jax.jit, static_argnames=("max_len", "budget", "metric", "interpret")
 )
 def ivf_gather_distances(
     queries,  # (nq, d) f32
@@ -139,6 +149,7 @@ def ivf_gather_distances(
     *,
     max_len: int,
     budget: int,
+    metric: str = "l2",
     interpret: bool = False,
 ):
     """-> (dist (nq, W) f32 inf-padded, rows (nq, W) int32 -1-padded).
@@ -159,7 +170,9 @@ def ivf_gather_distances(
     offs = jnp.cumsum(lens_al, axis=1) - lens_al  # exclusive prefix sums
     budget_pad = _round_up(budget + p * 128 + max_len_pad, 128)
 
-    kernel, nchunk = _kernel_factory(p, max_len_pad, d, budget_pad, chunk)
+    kernel, nchunk = _kernel_factory(
+        p, max_len_pad, d, budget_pad, chunk, metric
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
