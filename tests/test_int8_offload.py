@@ -207,3 +207,35 @@ def test_offload_from_host_rejects_device_layout():
     idx = IvfIndex.fit(_store(data), seed=1)
     with pytest.raises(RuntimeError, match="device-resident"):
         idx.offload_from_host()
+
+
+def test_offload_serves_stream_shared(monkeypatch):
+    """The 'auto' gate can upgrade offloaded serving to the block-major
+    shared kernel at huge probed footprints (choose_method). Force the
+    gate open (tiny thresholds) and check BOTH rerank modes produce the
+    per-query kernel's result sets through the auto path."""
+    import vector_indexer_tpu.index.ivf as ivf_mod
+
+    data, _, _ = make_gaussian_clusters(8, 150, 24, spread=0.4, separation=8.0)
+    idx = IvfIndex.fit(_store(data), seed=7)
+    q = data[:16] + 0.01
+    idx.offload_main_table()  # rerank='host'
+    Ds, Is = idx.search_batch(q, 8, idx.num_clusters, method="stream")
+
+    monkeypatch.setattr(ivf_mod, "SHARED_MIN_NQ", 1)
+    monkeypatch.setattr(ivf_mod, "SHARED_MIN_PROBED_ROWS", 1)
+    assert idx.choose_method(len(q), idx.num_clusters) == "stream_shared"
+    Dh, Ih = idx.search_batch(q, 8, idx.num_clusters)  # auto -> shared
+    for a, b in zip(Is, Ih):
+        assert set(a.tolist()) == set(b.tolist())
+    np.testing.assert_allclose(np.sort(Ds, 1), np.sort(Dh, 1),
+                               rtol=1e-3, atol=1e-3)
+
+    # Device-ranked mode returns the raw width-k plane where shared's
+    # selection is measurably lossier — auto must stay on the per-query
+    # kernel there even with the gate open.
+    idx._offload_rerank = "none"
+    assert idx.choose_method(len(q), idx.num_clusters) == "stream"
+    Dn, In = idx.search_batch(q, 8, idx.num_clusters)
+    for a, b in zip(Is, In):
+        assert set(a.tolist()) == set(b.tolist())

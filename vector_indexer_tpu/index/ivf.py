@@ -408,9 +408,20 @@ def _dedup_topk(dvals, rows, perm_dev, *, k: int):
 STREAM_FIXED_QBYTES = 160 << 10
 
 
+# Block-major query sharing (stream_shared) beats the per-query stream
+# kernel only once each query's probed footprint is huge: same-window
+# real-chip A/Bs (2026-08-19, /tmp->bench_results/shared_regime) measured
+# shared/stream = 0.84-0.93 at 16k-32k probed rows/query and 1.13-1.73x
+# at >=62.5k (d=16/64/128, growing with rows/query), with the win
+# shrinking to 1.04 at nq=512 (sharing needs a deep query tile). The
+# thresholds sit between the measured loss and win points.
+SHARED_MIN_PROBED_ROWS = 48 << 10
+SHARED_MIN_NQ = 1024
+
+
 def choose_sweep_body(
     lengths_np, n_rows: int, d: int, itemsize: int, nq: int, n_probe: int,
-    chunk: int,
+    chunk: int, allow_shared: bool = False,
 ) -> str:
     """Dense-vs-stream auto selection: ONE calibrated byte model shared by
     the single-chip dispatcher and every mesh searcher's local slice.
@@ -440,7 +451,20 @@ def choose_sweep_body(
     )
     q_tile_d = pick_q_tile(nq, max(n_rows * 4 // d, 1), d)
     dense_q = -(-nq // q_tile_d) * n_rows * d * 4 / max(nq, 1)
-    return "dense" if dense_q <= stream_q else "stream"
+    if dense_q <= stream_q:
+        return "dense"
+    # Upgrade to the block-major shared kernel when every query's probed
+    # footprint is big enough that re-fetching each block once per
+    # Q_SHARE-query group beats per-query fetches (see SHARED_MIN_* above).
+    # Only the single-chip dispatcher opts in (``allow_shared``); the mesh
+    # searchers' bodies run the per-query kernel.
+    if (
+        allow_shared
+        and nq >= SHARED_MIN_NQ
+        and n_probe * mean_slot_rows >= SHARED_MIN_PROBED_ROWS
+    ):
+        return "stream_shared"
+    return "stream"
 
 
 def _host_topk(exact, internal, k: int):
@@ -1094,19 +1118,19 @@ class IvfIndex:
         measured truth table: dense wins whole-table sweeps up to ~100k
         rows at any nprobe and beyond ~2.4 MB/query of probed bytes;
         stream wins the large-corpus low-nprobe regime, e.g. 93k vs 56k
-        qps at n=512k nprobe=4). The block-major shared kernel is never
-        auto-selected: it paid only while the per-query kernel spent
-        per-task DMAs on query+centroid blocks; after those were removed
-        (sequential qvec ref) the per-query kernel wins at every measured
-        point — same-window A/B at n=100k: 101-124k qps (stream) vs
-        99-101k (shared) at nlist=1268, and 51-86k vs 25-46k at nlist=160
-        where sharing saturates Q_SHARE=8. 'stream_shared' stays
-        available explicitly. Exposed publicly so the bench harness can
-        report which concrete path an 'auto' sweep point ran."""
+        qps at n=512k nprobe=4). When stream is chosen AND the per-query
+        probed footprint is huge (>= SHARED_MIN_PROBED_ROWS rows/query at
+        nq >= SHARED_MIN_NQ), the block-major shared kernel takes over:
+        the 2026-08-19 boundary-mapping A/Bs measured shared/stream
+        1.13-1.73x from 62.5k probed rows/query upward (d=16/64/128) vs
+        0.84-0.93 at 16k-32k (bench_results/shared_regime). That corner
+        needs probed rows/query ~50k+ while the probed FRACTION stays
+        small enough that dense doesn't win first — i.e. very large
+        corpora (n ~>= 8M at heuristic nlist) or explicit small-nlist
+        layouts. Exposed publicly so the bench harness can report which
+        concrete path an 'auto' sweep point ran."""
         if getattr(self, "host_resident", False):
             return "staged"
-        if getattr(self, "offloaded", False):
-            return "stream"
         from ..ops.pallas.block_stream import pick_chunk
 
         lay = self.layout
@@ -1114,9 +1138,32 @@ class IvfIndex:
         n_probe = min(n_probe, self.num_clusters)
         itemsize = jnp.dtype(self.stream_dtype).itemsize
         lengths = np.asarray(lay.lengths)
+        if getattr(self, "offloaded", False):
+            # Only the stream kernels can serve (no f32 table). The shared
+            # upgrade applies at huge probed footprints, but ONLY under
+            # rerank='host': there the >=128-wide shortlist re-ranked
+            # exactly makes the kernels result-equivalent (measured
+            # identical sets), while the device-ranked mode returns the
+            # raw width-k plane where shared's selection is measurably
+            # lossier (set-overlap@10 0.947 vs stream 0.972 on a 12-blob
+            # d=64 corpus, R@1=1.0 both).
+            chunk = pick_chunk(lengths, d, itemsize)
+            mean_slot_rows = (
+                float(np.ceil(lengths / max(chunk, 1)).mean()) * max(chunk, 1)
+                if len(lengths)
+                else 0.0
+            )
+            if (
+                getattr(self, "_offload_rerank", "host") == "host"
+                and nq >= SHARED_MIN_NQ
+                and n_probe * mean_slot_rows >= SHARED_MIN_PROBED_ROWS
+            ):
+                return "stream_shared"
+            return "stream"
         chunk = pick_chunk(lengths, d, itemsize)
         return choose_sweep_body(
-            lengths, lay.vectors.shape[0], d, itemsize, nq, n_probe, chunk
+            lengths, lay.vectors.shape[0], d, itemsize, nq, n_probe, chunk,
+            allow_shared=True,
         )
 
     def _budget_for(self, n_probe: int) -> int:
@@ -1200,7 +1247,7 @@ class IvfIndex:
         mult = getattr(self, "_offload_rerank_mult", 2)
         kk = (1 + spill) * min(max(mult * k, 128), 4096)
         _, rows = self.search_batch_device(
-            queries, kk, n_probe, "stream", _raw=True
+            queries, kk, n_probe, self.choose_method(nq, n_probe), _raw=True
         )
         rows = np.asarray(rows)[:nq]
         lay = self.layout
@@ -1296,12 +1343,15 @@ class IvfIndex:
             )
         if getattr(self, "offloaded", False):
             if method == "auto":
-                method = "stream"
-            if method != "stream":
+                method = self.choose_method(
+                    queries.shape[0] if hasattr(queries, "shape") else 1,
+                    n_probe,
+                )
+            if method not in ("stream", "stream_shared"):
                 raise RuntimeError(
-                    "offloaded index serves method='stream' only (the f32 "
-                    "main table was freed; dense/flat/gather/exact paths "
-                    "need it — reload the index to restore them)"
+                    "offloaded index serves the stream kernels only (the "
+                    "f32 main table was freed; dense/flat/gather/exact "
+                    "paths need it — reload the index to restore them)"
                 )
         if getattr(self, "spill", 0) and not _raw:
             kk = (1 + self.spill) * k
