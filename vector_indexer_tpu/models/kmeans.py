@@ -260,6 +260,17 @@ def assign_points_hierarchical(
         fill[m] += 1
     table = jnp.asarray(table)
 
+    # Bound the per-tile candidate gather (chunk, probes*g_max, d): meta
+    # groups are skewed (5-iter meta Lloyd leaves whales — measured
+    # g_max/mean ~6x at k=12.6k), and the gather materializes twice in the
+    # lowered map body. An unbounded chunk OOM'd at n=10M k=12652
+    # (2 x 7.7 GiB tiles); cap the pair at ~2 GiB and round the chunk to
+    # the sublane tile.
+    tile_bytes = 2 * chunk * probes * g_max * d * 4
+    cap = 2 << 30
+    if tile_bytes > cap:
+        chunk = max(256, (cap // (2 * probes * g_max * d * 4)) // 256 * 256)
+
     return _assign_hierarchical_jit(
         data, centroids, meta_centroids, table, probes=probes, chunk=chunk
     )
