@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -55,10 +56,11 @@ CHUNK = 256  # default rows per task block (lane-aligned packed output slots)
 # Block fetches per grid step (amortizes per-step overhead). A/B on v5e at
 # n=1M (same time window): 16 beats 8 by 10-13% at nprobe 4/16, ties at 8.
 FAN = 16
-# SMEM holds 3 scalar-prefetch arrays of nq*t_fixed tasks (block id i32 +
-# int8 dequant scale f32 + bias f32 = 12 B/task); stay under half of the
-# v5e's ~1 MB SMEM.
-SMEM_TASK_CAP = 40_960
+# SMEM holds the scalar-prefetch task arrays (block id i32 + int8 dequant
+# scale f32 + bias f32 = 12 B/task; the fused-selection kernel adds a valid
+# -lane count i32 = 16 B/task); budget ~480 KB — under half of the v5e's
+# ~1 MB SMEM at the fused width.
+SMEM_TASK_CAP = 30_720
 # Measured per-task fixed cost on v5e: ~200 ns regardless of block bytes
 # (an all-same-block run — zero new HBM traffic — streams no faster than
 # distinct blocks). The kernel structure tops out ~625 GB/s (76% of the
@@ -527,6 +529,178 @@ def _block_stream_call(
     return outs
 
 
+def pick_stream_groups(chunk: int) -> int:
+    """Accumulator group count G for the fused-selection kernel: target
+    ~1024 (group, lane) accumulator positions (2048-column output plane —
+    the cheap end of the XLA selection curve, and the same expected
+    top-2-per-lane tail loss as flat_sweep's C=8 plane: ~0.5% at k=100,
+    exactly 0 at k=1 since a lane's min always survives). G must divide
+    FAN (fans are routed to groups round-robin)."""
+    g = max(1, min(8, 1024 // chunk))
+    while FAN % g:  # pragma: no cover - FAN=16 makes 1/2/4/8 all valid
+        g -= 1
+    return g
+
+
+def _fused_kernel_factory(d: int, metric: str, t_sub: int, G: int, chunk: int):
+    # Fused-selection variant of _kernel_factory: instead of materializing
+    # every task's (1, CHUNK) distance row to HBM (t_fixed*CHUNK columns per
+    # query for the epilogue to select over — ~11 ms/kilobatch once the
+    # plane is materialized, nearly independent of width), each query's
+    # output block is a per-(group, lane) (best, second) accumulator plane
+    # that stays VMEM-resident across the query's t_sub grid steps (the
+    # grid is QUERY-MAJOR here — step t serves query t // t_sub — so the
+    # block index map revisits the same block consecutively and Mosaic
+    # flushes it to HBM once per query). Fan f feeds group f % G; lanes
+    # beyond a list's end are inf-masked in-kernel from the prefetched
+    # nval array (unused slots have nval=0). A parallel int32 plane records
+    # the winning global slot id so the epilogue can map (group, lane) back
+    # to a stream row. Distance math is identical to _kernel_factory.
+    def kernel(*refs):
+        scl_ref, bias_ref, nval_ref = refs[1], refs[2], refs[3]
+        qv_ref = refs[4]
+        x_refs = refs[5 : 5 + FAN]
+        n_refs = refs[5 + FAN : 5 + 2 * FAN]
+        out_d, out_s = refs[5 + 2 * FAN], refs[5 + 2 * FAN + 1]
+        t = pl.program_id(0)
+        u = t % t_sub  # local slot within the query (query-major grid)
+
+        @pl.when(u == 0)
+        def _init():
+            # Output refs are (1, 1, 2*G*chunk): Mosaic's tiling rule wants
+            # the block's last-two dims divisible by (8, 128) or equal to
+            # the array's — a literal (1, width) block over an (nq, width)
+            # array satisfies neither, so the plane carries a unit axis.
+            out_d[...] = jnp.full((1, 1, 2 * G * chunk), jnp.inf, jnp.float32)
+            out_s[...] = jnp.full((1, 1, 2 * G * chunk), -1, jnp.int32)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        for f in range(FAN):
+            qv = qv_ref[0, f, :][None, :]  # (1, d) f32: q - c (l2) or q (ip)
+            x = x_refs[f][:]  # (CHUNK, d) residual rows, table dtype
+            bias = bias_ref[f, t]
+            int8_mode = x.dtype == jnp.int8
+            if int8_mode:
+                x = x.astype(jnp.bfloat16)
+            prec = _dot_precision(x.dtype)
+            cross = jax.lax.dot_general(
+                qv.astype(x.dtype), x, (((1,), (1,)), ((), ())),
+                precision=prec,
+                preferred_element_type=jnp.float32,
+            )  # (1, CHUNK)
+            if int8_mode:
+                cross = cross * scl_ref[f, t]
+            if metric == "l2":
+                dist = bias - 2.0 * cross + n_refs[f][0]
+            else:
+                nrm = n_refs[f][0, 0]
+                dist = bias - cross + jnp.where(nrm >= 1e29, nrm, 0.0)[None, :]
+            dist = jnp.where(lane < nval_ref[f, t], dist, jnp.inf)
+            slot = jnp.full((1, chunk), f * t_sub, jnp.int32) + u
+
+            g = f % G
+            ob = slice(g * chunk, (g + 1) * chunk)  # best plane, group g
+            os_ = slice((G + g) * chunk, (G + g + 1) * chunk)  # second
+            b, bi = out_d[0, :, ob], out_s[0, :, ob]
+            s2, si = out_d[0, :, os_], out_s[0, :, os_]
+            better = dist < b
+            disp = jnp.where(better, b, dist)  # displaced candidate
+            disp_i = jnp.where(better, bi, slot)
+            out_d[0, :, ob] = jnp.where(better, dist, b)
+            out_s[0, :, ob] = jnp.where(better, slot, bi)
+            sec = disp < s2
+            out_d[0, :, os_] = jnp.where(sec, disp, s2)
+            out_s[0, :, os_] = jnp.where(sec, disp_i, si)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nq", "t_sub", "metric", "chunk", "groups", "interpret"),
+)
+def _block_stream_fused_call(
+    qvec,  # (steps, FAN, d) f32 per-(step, fan) query rows: q - c | q
+    vecs,  # (m_pad, d) stream table (residual rows)
+    norms,  # (m_pad,) f32
+    blk,  # (FAN, nq*t_sub) int32 block id per task (query-major order)
+    scl,  # (FAN, nq*t_sub) f32 per-task dequant scale (int8 tables)
+    bias,  # (FAN, nq*t_sub) f32 per-task |q-c|^2 (l2) / -q.c (ip)
+    nval,  # (FAN, nq*t_sub) int32 valid lanes per task (0 = unused slot)
+    *,
+    nq: int,
+    t_sub: int,
+    metric: str,
+    chunk: int = CHUNK,
+    groups: int = 4,
+    interpret: bool = False,
+):
+    """Fused-selection twin of _block_stream_call: grid step t serves query
+    ``t // t_sub`` at local slot ``t % t_sub`` (query-major, so the
+    accumulator output block is revisited consecutively). Returns
+    (dist_plane (nq, 2*G*chunk) f32, slot_plane (nq, 2*G*chunk) i32)."""
+    steps = nq * t_sub
+    d = qvec.shape[-1]
+    G = groups
+    kernel = _fused_kernel_factory(d, metric, t_sub, G, chunk)
+    CHUNK = chunk  # shadow the module default for the specs below
+
+    def qv_spec():
+        return pl.BlockSpec(
+            (1, FAN, d), lambda t, blk, scl, bias, nval: (t, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def x_spec(f):
+        return pl.BlockSpec(
+            (CHUNK, d), lambda t, blk, scl, bias, nval, f=f: (blk[f, t], 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def n_spec(f):
+        return pl.BlockSpec(
+            (1, 1, CHUNK),
+            lambda t, blk, scl, bias, nval, f=f: (blk[f, t], 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def o_spec():
+        return pl.BlockSpec(
+            (1, 1, 2 * G * CHUNK),
+            lambda t, blk, scl, bias, nval: (t // t_sub, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(steps,),
+        in_specs=[qv_spec()]
+        + [x_spec(f) for f in range(FAN)]
+        + [n_spec(f) for f in range(FAN)],
+        out_specs=[o_spec(), o_spec()],
+    )
+    dist_plane, slot_plane = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nq, 1, 2 * G * CHUNK), jnp.float32),
+            jax.ShapeDtypeStruct((nq, 1, 2 * G * CHUNK), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * FAN * steps * CHUNK * d,
+            bytes_accessed=FAN * steps * CHUNK * d * vecs.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        blk, scl, bias, nval,
+        qvec,
+        *([vecs] * FAN),
+        *([norms.reshape(-1, 1, CHUNK)] * FAN),
+    )
+    return dist_plane[:, 0], slot_plane[:, 0]
+
+
 def block_stream_search(
     queries,  # (nq, d) f32 (pre-normalized for cosine)
     table: StreamTable,
@@ -536,12 +710,23 @@ def block_stream_search(
     t_fixed: int,
     metric: str = "l2",
     approx: bool = True,
+    fused: bool | None = None,
     interpret: bool = False,
 ):
     """-> (D (nq, k) f32, main layout rows (nq, k) int32, inf/-1 padded).
     Jit-traceable (call under jit). Each query gets t_fixed CHUNK-row task
     slots, nearest probed lists first; chunks beyond t_fixed are dropped
-    (see per_query_slots)."""
+    (see per_query_slots).
+
+    ``fused`` selects the fused-selection kernel (in-kernel per-lane top-2
+    accumulator planes; the epilogue selects over a fixed 2*G*CHUNK-column
+    plane instead of the materialized t_fixed*CHUNK one — the same
+    materialized-plane-selection economics that drove flat_sweep). Default
+    (None): engage when the materialized plane would be wider than twice
+    the accumulator plane and k fits in half of it; VITPU_FUSED_STREAM=0/1
+    force-overrides. Exactly lossless for the per-lane minimum (R@1); the
+    top-2-per-lane tail loss at k=100 over >=1024 lanes is ~0.5% before
+    the exact re-rank (flat_sweep math, see pick_stream_groups)."""
     nq, d = queries.shape
     p = probe.shape[1]
     t_sub = t_fixed // FAN  # slots per fan (t_fixed % FAN == 0)
@@ -602,6 +787,81 @@ def block_stream_search(
             queries[:, None, :], (nq, t_fixed, d)
         )
         bias2d = -jnp.sum(queries[:, None, :] * table.cent[cid2d], axis=-1)
+
+    G = pick_stream_groups(CHUNK)
+    if fused is None:
+        # Never auto-engage for exact selection (approx=False is the
+        # stream_exact escape hatch; top-2-per-lane is approximate for
+        # k > 1). VITPU_FUSED_STREAM=0/1 force-overrides within that.
+        env = os.environ.get("VITPU_FUSED_STREAM")
+        if env is not None:
+            fused = approx and env != "0"
+        else:
+            fused = (
+                approx
+                and t_fixed * CHUNK > 4 * G * CHUNK
+                and k <= G * CHUNK
+            )
+    if fused and k > 2 * G * CHUNK:
+        fused = False  # selection cannot return more than the plane holds
+
+    if fused:
+        # Query-major packing: fan f's step t serves (query t // t_sub,
+        # local slot t % t_sub). Same global slot numbering as fan_flat
+        # (fan f owns slots [f*t_sub, (f+1)*t_sub)) — only the step order
+        # differs, so blk2d indexing in the epilogue is unchanged.
+        def fan_flat_q(a2d):
+            return jnp.stack(
+                [
+                    a2d[:, f * t_sub : (f + 1) * t_sub].reshape(-1)
+                    for f in range(FAN)
+                ]
+            )
+
+        def fan_steps_q(a3d):  # (nq, t_fixed, d) -> (steps, FAN, d)
+            return jnp.stack(
+                [
+                    a3d[:, f * t_sub : (f + 1) * t_sub].reshape(
+                        -1, a3d.shape[-1]
+                    )
+                    for f in range(FAN)
+                ],
+                axis=1,
+            )
+
+        dist_plane, slot_plane = _block_stream_fused_call(
+            fan_steps_q(qc_all),
+            table.vecs,
+            table.norms,
+            fan_flat_q(blk2d),
+            fan_flat_q(table.scales[cid2d]),
+            fan_flat_q(bias2d),
+            fan_flat_q(nval2d),
+            nq=nq,
+            t_sub=t_sub,
+            metric=metric,
+            chunk=CHUNK,
+            groups=G,
+            interpret=interpret,
+        )
+        if approx and dist_plane.shape[1] > max(512, 2 * k):
+            dvals, ci = jax.lax.approx_min_k(
+                dist_plane, k, recall_target=0.99
+            )
+        else:
+            from ..topk import topk_smallest
+
+            dvals, ci = topk_smallest(dist_plane, k)
+        ci0 = jnp.maximum(ci, 0)
+        s_sel = jnp.take_along_axis(slot_plane, ci0, axis=1)
+        w_sel = ci0 % CHUNK  # lane within the chunk block
+        blk_sel = jnp.take_along_axis(blk2d, jnp.maximum(s_sel, 0), axis=1)
+        srow = blk_sel * CHUNK + w_sel
+        main_rows = table.to_main[srow]
+        real = (ci >= 0) & (s_sel >= 0) & jnp.isfinite(dvals) & (dvals < 1e29)
+        main_rows = jnp.where(real, main_rows, -1)
+        dvals = jnp.where(real, dvals, jnp.inf)
+        return dvals, main_rows
 
     outs = _block_stream_call(
         fan_steps(qc_all),
