@@ -155,24 +155,26 @@ def _stage2(args):
     t_build = time.perf_counter() - t0
 
     # Exact GT from the PACKED table (no second multi-GB corpus upload
-    # over the tunnel): brute-force over layout rows, perm-map back to
-    # internal ids. Gap/tail rows are zero vectors (storage/layout.py)
-    # and can't crack the top-8 on a clustered corpus; the perm>=0
-    # filter drops them regardless. Recall needs the true NN only.
+    # over the tunnel): brute-force over layout rows with the SENTINEL
+    # row-norm mask (gap/tail rows DUPLICATE a real row — the packing
+    # gather clamps perm=-1 to row 0 — so they must be excluded by norm,
+    # not by value), then perm-map back to internal ids. Recall needs
+    # the true NN only.
     import jax
 
     t0_gt = time.perf_counter()
     core = index._indexer.index
     lay = core.layout
     _, prows = brute_force_topk(
-        jax.device_put(xq), lay.vectors[: lay.rows_used], 8
+        jax.device_put(xq),
+        lay.vectors[: lay.rows_used],
+        1,
+        db_row_norms=lay.row_norms[: lay.rows_used],
     )
-    ids = lay.perm[np.asarray(prows)]
-    gt = np.full((nq, 1), -1, np.int64)
-    for i in range(nq):
-        v = ids[i][ids[i] >= 0]
-        assert v.size, f"stage2 gt: query {i} found only gap rows"
-        gt[i, 0] = v[0]
+    prows = np.asarray(prows)
+    assert (prows >= 0).all(), "stage2 gt: sentinel mask left a query empty"
+    gt = lay.perm[prows].astype(np.int64)
+    assert (gt >= 0).all(), "stage2 gt: gap row cracked the masked top-1"
     t_gt = time.perf_counter() - t0_gt
     print(
         f"# stage2 n={n} d={d} build={t_build:.1f}s gt={t_gt:.1f}s "

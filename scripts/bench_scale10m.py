@@ -98,20 +98,21 @@ def main() -> None:
     print(f"# build {t_build:.1f}s nlist={nlist}", file=sys.stderr, flush=True)
 
     # ---- exact GT from the packed table (no second 5 GB upload) --------
-    # Gap/tail rows are zero vectors (layout.py) and can't crack the
-    # top-32 on clustered data; perm-map + filter drops them regardless.
+    # Gap/tail rows DUPLICATE a real row (the packing gather clamps
+    # perm=-1 to row 0), so they are excluded via the SENTINEL row-norm
+    # mask rather than by value.
     t0 = time.perf_counter()
     lay = idx.layout
     _, rows = brute_force_topk(
-        jax.device_put(xq), lay.vectors[: lay.rows_used], 32
+        jax.device_put(xq),
+        lay.vectors[: lay.rows_used],
+        10,
+        db_row_norms=lay.row_norms[: lay.rows_used],
     )
     rows = np.asarray(rows)
-    ids = np.where(rows >= 0, lay.perm[np.maximum(rows, 0)], -1)
-    gt = np.full((args.nq, 10), -1, np.int64)
-    for i in range(args.nq):
-        v = ids[i][ids[i] >= 0][:10]
-        assert len(v) == 10, f"query {i}: only {len(v)} valid GT rows"
-        gt[i] = v
+    assert (rows >= 0).all(), "gt: sentinel mask left a query short"
+    gt = lay.perm[rows].astype(np.int64)
+    assert (gt >= 0).all(), "gt: gap row cracked the masked top-10"
     t_gt = time.perf_counter() - t0
     print(f"# gt {t_gt:.1f}s", file=sys.stderr, flush=True)
 

@@ -94,6 +94,28 @@ def test_brute_force_topk_exact(rng, n, chunk):
     np.testing.assert_allclose(np.sort(got_d, 1), np.sort(want_vals, 1), rtol=1e-3, atol=1e-3)
 
 
+def test_brute_force_row_norm_mask(rng):
+    """db_row_norms >= 1e29 excludes rows even when their VECTORS duplicate
+    the true neighbor (the packed layout's gap rows clamp perm=-1 to row 0,
+    so a layout-table GT must mask by norm, not by value)."""
+    d = 16
+    db = rng.normal(size=(200, d)).astype(np.float32)
+    db[50:60] = db[0]  # gap rows duplicating a real row
+    norms = (db * db).sum(1)
+    norms[50:60] = 1e30  # SENTINEL_NORM
+    q = db[:5] + 0.001
+    vals, idx = brute_force_topk(
+        jnp.asarray(q), jnp.asarray(db), 12,
+        db_chunk=64, db_row_norms=jnp.asarray(norms),
+    )
+    idx = np.asarray(idx)
+    assert idx[0, 0] == 0
+    assert not np.isin(idx, np.arange(50, 60)).any()
+    # unmasked call DOES surface the duplicates (the hazard being masked)
+    _, idx_u = brute_force_topk(jnp.asarray(q), jnp.asarray(db), 12, db_chunk=64)
+    assert np.isin(np.asarray(idx_u)[0], np.arange(50, 60)).any()
+
+
 def test_brute_force_high_dim(rng):
     db = rng.normal(size=(300, 1536)).astype(np.float32)
     q = db[:5] + 0.001

@@ -52,6 +52,7 @@ def brute_force_topk(
     k: int,
     db_chunk: int = 65536,
     metric: str = "l2",
+    db_row_norms: jax.Array | None = None,
 ):
     """Exact k-NN oracle: (nq, d) x (n, d) -> (D (nq,k), I (nq,k)).
 
@@ -64,6 +65,13 @@ def brute_force_topk(
 
     ``metric``: 'l2' (squared L2) or 'ip' (returns negated inner product, so
     smaller = more similar; cosine = normalize inputs then 'ip').
+
+    ``db_row_norms``: optional (n,) row-norm array used ONLY as a validity
+    mask: rows with norm >= 1e29 (the packed layout's gap/tail SENTINEL;
+    their VECTORS duplicate a real row — the packing gather clamps perm=-1
+    to row 0 — so they cannot be filtered from the vector data itself) are
+    excluded from the result. Lets callers brute-force an IvfIndex layout
+    table directly (GT without a second corpus upload).
     """
     nq, d = queries.shape
     n = db.shape[0]
@@ -73,13 +81,19 @@ def brute_force_topk(
     dbp = jnp.pad(db, ((0, n_pad - n), (0, 0)))
     num_chunks = n_pad // db_chunk
     chunks = dbp.reshape(num_chunks, db_chunk, d)
+    if db_row_norms is not None:
+        nrm_chunks = jnp.pad(
+            db_row_norms, (0, n_pad - n), constant_values=1e30
+        ).reshape(num_chunks, db_chunk)
+    else:
+        nrm_chunks = jnp.zeros((num_chunks, 1), jnp.float32)  # no-op mask
 
     # Row validity mask for the padded tail chunk.
     base_iota = jnp.arange(db_chunk)
 
     def step(carry, inp):
         best_v, best_i = carry
-        chunk, c_start = inp
+        chunk, c_start, cn = inp
         if metric == "l2":
             dmat = pairwise_sq_l2(queries, chunk, x_sq=q_sq)  # (nq, db_chunk)
         else:  # ip: smaller = more-negative similarity
@@ -90,6 +104,7 @@ def brute_force_topk(
             )
         rows = c_start + base_iota
         dmat = jnp.where((rows < n)[None, :], dmat, jnp.inf)
+        dmat = jnp.where((cn >= 1e29)[None, :], jnp.inf, dmat)
         v, i = topk_smallest(dmat, k)
         gi = jnp.where(i >= 0, rows[jnp.where(i < 0, 0, i)], -1)
         best_v, best_i = merge_topk(best_v, best_i, v, gi, k)
@@ -98,5 +113,7 @@ def brute_force_topk(
     init_v = jnp.full((nq, k), jnp.inf, dtype=jnp.float32)
     init_i = jnp.full((nq, k), -1, dtype=jnp.int32)
     starts = jnp.arange(num_chunks) * db_chunk
-    (vals, idx), _ = jax.lax.scan(step, (init_v, init_i), (chunks, starts))
+    (vals, idx), _ = jax.lax.scan(
+        step, (init_v, init_i), (chunks, starts, nrm_chunks)
+    )
     return vals, idx
