@@ -61,6 +61,13 @@ FAN = 16
 # -lane count i32 = 16 B/task); budget ~480 KB — under half of the v5e's
 # ~1 MB SMEM at the fused width.
 SMEM_TASK_CAP = 30_720
+# Probed rows/query above which the fused-selection stream kernel wins:
+# the materialized plane's XLA selection cost crosses the fused kernel's
+# extra accumulator work between 8k and 16k columns (2026-08-19 real-chip
+# A/Bs at n=2M, bench_results/fused_stream_ab: fused/unfused = 0.84-0.97
+# at 4k-8k rows/q, 1.07-1.30 at 16k-32k, same boundary for bf16 and int8
+# tables).
+FUSED_STREAM_MIN_ROWS = 12 << 10
 # Measured per-task fixed cost on v5e: ~200 ns regardless of block bytes
 # (an all-same-block run — zero new HBM traffic — streams no faster than
 # distinct blocks). The kernel structure tops out ~625 GB/s (76% of the
@@ -799,7 +806,7 @@ def block_stream_search(
         else:
             fused = (
                 approx
-                and t_fixed * CHUNK > 4 * G * CHUNK
+                and t_fixed * CHUNK >= FUSED_STREAM_MIN_ROWS
                 and k <= G * CHUNK
             )
     if fused and k > 2 * G * CHUNK:
