@@ -42,34 +42,37 @@ def test_dense_wins_large_corpus_high_nprobe():
     assert _pick(512_000, 2864, 128, 1024, 64) == "dense"
 
 
-def test_shared_gate_upgrades_huge_probed_footprints():
-    # The shared-win regime (bench_results/shared_regime): probed
-    # rows/query >= ~62.5k measured shared/stream 1.13-1.73x. Build a
-    # table big enough that dense doesn't win first (n=32M, probed
-    # fraction ~0.2%).
+def test_shared_gate_upgrades_enormous_probed_footprints():
+    # The shared-win regime vs the FUSED per-query kernel: shared/fused
+    # 1.25-1.27x at 617k probed rows/query, 0.59-0.92 at <=319k
+    # (bench_results/fused_stream_ab/shared_corner*). Build a table big
+    # enough that dense doesn't win first (n=32M: pick_q_tile's HBM cap
+    # shrinks dense to 8-query tiles).
     n, nlist, d = 32_000_000, 2048, 64
-    got = _pick(n, nlist, d, 4096, 4, allow_shared=True)
+    got = _pick(n, nlist, d, 4096, 64, allow_shared=True)  # 1M rows/q
     assert got == "stream_shared"
     # probed rows at this point really are above the gate
-    assert 4 * (n // nlist) >= SHARED_MIN_PROBED_ROWS
+    assert 64 * (n // nlist) >= SHARED_MIN_PROBED_ROWS
 
 
 def test_shared_gate_needs_opt_in_and_deep_batch():
     n, nlist, d = 32_000_000, 2048, 64
-    # mesh searchers don't opt in -> per-query kernel
-    assert _pick(n, nlist, d, 4096, 4, allow_shared=False) == "stream"
-    # shallow batches lose the sharing amortization (nq=512 measured
-    # shared/stream = 1.04, inside noise)
+    # mesh searchers don't opt in -> per-query kernel (1M rows/q point)
+    assert _pick(n, nlist, d, 4096, 64, allow_shared=False) == "stream"
+    # shallow batches lose the sharing amortization (sharing needs a
+    # deep query tile; nq=512 measured shared/stream = 1.04 already
+    # against the unfused kernel)
     assert (
-        _pick(n, nlist, d, SHARED_MIN_NQ // 2, 4, allow_shared=True)
+        _pick(n, nlist, d, SHARED_MIN_NQ // 2, 64, allow_shared=True)
         == "stream"
     )
 
 
 def test_shared_gate_respects_probed_rows_floor():
-    # 16k-32k probed rows/query measured shared/stream 0.84-0.93: the
-    # per-query kernel must keep those points.
-    n, nlist, d = 32_000_000, 8192, 64  # ~3.9k rows/list
-    got = _pick(n, nlist, d, 4096, 4, allow_shared=True)
+    # At or below 319k probed rows/query the fused per-query kernel
+    # measured faster than shared (0.59-0.92): those points must stay
+    # on the per-query kernel.
+    n, nlist, d = 32_000_000, 2048, 64  # 15.6k rows/list
+    got = _pick(n, nlist, d, 4096, 16, allow_shared=True)  # 250k rows/q
     assert got == "stream"
-    assert 4 * (n // nlist) < SHARED_MIN_PROBED_ROWS
+    assert 16 * (n // nlist) < SHARED_MIN_PROBED_ROWS

@@ -409,13 +409,17 @@ STREAM_FIXED_QBYTES = 160 << 10
 
 
 # Block-major query sharing (stream_shared) beats the per-query stream
-# kernel only once each query's probed footprint is huge: same-window
-# real-chip A/Bs (2026-08-19, /tmp->bench_results/shared_regime) measured
-# shared/stream = 0.84-0.93 at 16k-32k probed rows/query and 1.13-1.73x
-# at >=62.5k (d=16/64/128, growing with rows/query), with the win
-# shrinking to 1.04 at nq=512 (sharing needs a deep query tile). The
-# thresholds sit between the measured loss and win points.
-SHARED_MIN_PROBED_ROWS = 48 << 10
+# kernel only once each query's probed footprint is ENORMOUS. The original
+# 48k-row boundary (bench_results/shared_regime) was measured against the
+# UNFUSED per-query kernel; the fused-selection kernel moved it by an
+# order of magnitude: same-window 3-arm A/Bs (2026-08-19,
+# bench_results/fused_stream_ab/shared_corner*) measured shared/fused =
+# 0.59-0.92 at 81k-319k probed rows/query and 1.25-1.27x at 617k (nq 1024
+# and 4096 agree). The threshold sits past the interpolated ~400k
+# crossover, conservatively favoring fused (which also returns result
+# sets closer to the exact path: intersection 0.96-1.00 vs shared's
+# 0.92-0.98 under its t_cap truncation).
+SHARED_MIN_PROBED_ROWS = 512 << 10
 SHARED_MIN_NQ = 1024
 
 
@@ -1118,17 +1122,18 @@ class IvfIndex:
         measured truth table: dense wins whole-table sweeps up to ~100k
         rows at any nprobe and beyond ~2.4 MB/query of probed bytes;
         stream wins the large-corpus low-nprobe regime, e.g. 93k vs 56k
-        qps at n=512k nprobe=4). When stream is chosen AND the per-query
-        probed footprint is huge (>= SHARED_MIN_PROBED_ROWS rows/query at
-        nq >= SHARED_MIN_NQ), the block-major shared kernel takes over:
-        the 2026-08-19 boundary-mapping A/Bs measured shared/stream
-        1.13-1.73x from 62.5k probed rows/query upward (d=16/64/128) vs
-        0.84-0.93 at 16k-32k (bench_results/shared_regime). That corner
-        needs probed rows/query ~50k+ while the probed FRACTION stays
-        small enough that dense doesn't win first — i.e. very large
-        corpora (n ~>= 8M at heuristic nlist) or explicit small-nlist
-        layouts. Exposed publicly so the bench harness can report which
-        concrete path an 'auto' sweep point ran."""
+        qps at n=512k nprobe=4). Within the stream branch the fused-
+        selection kernel engages itself at >=12k probed rows/query
+        (block_stream.FUSED_STREAM_MIN_ROWS); only at ENORMOUS footprints
+        (>= SHARED_MIN_PROBED_ROWS rows/query at nq >= SHARED_MIN_NQ)
+        does the block-major shared kernel still take over — the
+        2026-08-19 3-arm A/Bs measured shared/fused 1.25-1.27x at 617k
+        rows/query but 0.59-0.92 everywhere at or below 319k
+        (bench_results/fused_stream_ab/shared_corner*). That corner needs
+        the probed FRACTION to stay small enough that dense doesn't win
+        first — very large corpora or explicit small-nlist layouts.
+        Exposed publicly so the bench harness can report which concrete
+        path an 'auto' sweep point ran."""
         if getattr(self, "host_resident", False):
             return "staged"
         from ..ops.pallas.block_stream import pick_chunk
