@@ -60,6 +60,12 @@ def main() -> None:
     )
     p.add_argument("--metric", default="l2", choices=["l2", "ip", "cosine"])
     p.add_argument(
+        "--stream-dtype", default="bf16", choices=["bf16", "int8"],
+        help="stream-table residual dtype for the stream kernels (int8 = "
+        "per-cluster symmetric scales, in-kernel dequant, 4x-widened exact "
+        "device re-rank; halves the selective sweep's bytes)",
+    )
+    p.add_argument(
         "--backend",
         default=_env("BACKEND", "tpu", str),
         choices=["tpu", "cpu", "both"],
@@ -104,6 +110,10 @@ def main() -> None:
     t0 = time.perf_counter()
     index = bindings.build(xb, work_dir=args.work_dir, metric=args.metric)
     build_s = time.perf_counter() - t0
+    if args.stream_dtype == "int8":
+        import jax.numpy as jnp
+
+        index._indexer.index.stream_dtype = jnp.dtype(jnp.int8)
 
     extra = dict(build_seconds=build_s)
     results = []
@@ -156,6 +166,7 @@ def main() -> None:
             n=xb.shape[0], d=xb.shape[1], nq=xq.shape[0], k=args.k,
             seed=args.seed, nlist=index.nlist, method=args.method,
             metric=args.metric, backend=args.backend,
+            stream_dtype=args.stream_dtype,
         ),
         results=results,
         extra=extra,
