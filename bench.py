@@ -120,9 +120,9 @@ def _sweep(index, xq, xq_dev, gt, k, nprobes, min_time, tag, points=None):
 def _stage2(args):
     """Stage 2: clustered (SIFT-shaped) corpus at large n — the IVF-wins
     regime (reference protocol analog: SIFT1M sweep,
-    bench_all_ivf.py:371-480). Returns (rows, cpu_best, extras) or None on
-    any device/build failure (stage 1 already produced a usable headline).
-    """
+    bench_all_ivf.py:371-480). Returns (rows, cpu_best, extras); raises on
+    device/build failure (main catches and falls back to the stage-1
+    headline)."""
     from vector_indexer_tpu import bindings
     from vector_indexer_tpu.ops import brute_force_topk
     from benchmarks.cpu_ivf import (
@@ -130,25 +130,14 @@ def _stage2(args):
         best_qps_at_recall,
         labels_from_layout,
     )
+    from benchmarks.datasets import clustered
 
     # --cpu smoke: shrink the hardcoded query/k axes too (interpret-mode
     # stream at nq=1024 d=128 takes >15 min on one core; numbers are
     # meaningless there anyway — the smoke checks code paths only).
     n, d = args.stage2_n, 128
     nq, k = (128, 10) if args.cpu else (1024, 100)
-    g = np.random.default_rng(args.seed)
-    ncent = max(64, min(1024, n // 1000))
-    centers = g.normal(0, 4.0, size=(ncent, d)).astype(np.float32)
-    xb = np.empty((n, d), np.float32)
-    for s in range(0, n, 500_000):
-        e = min(s + 500_000, n)
-        xb[s:e] = (
-            centers[g.integers(0, ncent, e - s)]
-            + g.normal(0, 1.0, (e - s, d))
-        ).astype(np.float32)
-    xq = (
-        centers[g.integers(0, ncent, nq)] + g.normal(0, 1.0, (nq, d))
-    ).astype(np.float32)
+    xb, xq = clustered(n, d, nq, seed=args.seed)
 
     t0 = time.perf_counter()
     index = bindings.build(xb, work_dir="/tmp/vix_bench_s2")
@@ -206,6 +195,16 @@ def _stage2(args):
         if cpu_at_floor
         else max(cpu_rows, key=lambda r: r["r10"])
     )
+    if not cpu_at_floor:
+        # Stage 1 prints the same disclosure; without it the headline's
+        # vs_baseline would silently compare against a sub-floor anchor.
+        print(
+            f"# stage2 cpu_ivf_baseline={cpu_best['qps']:.1f} qps at R@10="
+            f"{cpu_best['r10']:.3f} (recall floor {RECALL_FLOOR} NOT "
+            f"reached by the CPU IVF sweep; its max R@10 is "
+            f"{max(r['r10'] for r in cpu_rows):.3f})",
+            file=sys.stderr,
+        )
 
     xq_dev = index.stage_queries(xq)
     nprobes = [p for p in (1, 2, 4, 8, 16, 32) if p <= index.nlist]
@@ -228,26 +227,44 @@ def _stage2(args):
         print(f"# ivf-s2-int8 sweep failed: {e!r}", file=sys.stderr)
     finally:
         core.stream_dtype = jnp.bfloat16
-    rows += _sweep(
-        index, xq, xq_dev, gt, k, [], args.min_time, "flat-s2",
-        points=[("flat", index.nlist), ("flat_int8", index.nlist)],
-    )
-    extras = dict(n=n, build_seconds=t_build, gt_seconds=t_gt,
-                  nlist=index.nlist, cpu_rows=cpu_rows)
+    # The flat contrast points, each guarded like stage 1's int8 points: a
+    # device-dependent failure of one must not discard the selective rows
+    # the headline needs.
+    for mth in ("flat", "flat_int8"):
+        try:
+            rows += _sweep(
+                index, xq, xq_dev, gt, k, [], args.min_time, "flat-s2",
+                points=[(mth, index.nlist)],
+            )
+        except Exception as e:  # pragma: no cover - device-dependent
+            print(f"# {mth} s2 sweep failed: {e!r}", file=sys.stderr)
+    extras = dict(n=n, d=d, build_seconds=t_build, gt_seconds=t_gt,
+                  nlist=index.nlist, cpu_rows=cpu_rows,
+                  cpu_floor_met=bool(cpu_at_floor))
     return rows, cpu_best, extras
 
 
-def _stage2_only_main(args) -> None:
-    """Debug entry (--stage2-only): run just the stage-2 regime and print
-    its verdict + a JSON line without stage1_* fields."""
-    rows2, cpu2_best, extras2 = _stage2(args)
-    flat_row2 = next(r for r in rows2 if r["method"] == "flat")
+def _stage2_verdict(rows2, extras2):
+    """Pick stage 2's headline row and print its verdict line (shared by
+    main and the --stage2-only debug entry so the two can never drift).
+
+    Headline-eligible = genuinely SELECTIVE floor-meeting points: ranks a
+    fraction of the corpus AND sweeps a fraction of flat's bytes (excludes
+    the masked full-table dense sweep). Returns (best2, flat_row2) —
+    flat_row2 is None when both flat contrast points failed on-device (the
+    bytes criterion then falls back to the full f32 table size)."""
+    flat_row2 = next((r for r in rows2 if r["method"] == "flat"), None)
+    flat_mb = (
+        flat_row2["mb_per_q"]
+        if flat_row2 is not None
+        else extras2["n"] * extras2["d"] * 4 / 2**20
+    )
     at_floor2 = [r for r in rows2 if r.get("r@10", 0.0) >= RECALL_FLOOR]
     sel2 = [
         r for r in at_floor2
         if r["tag"] in ("ivf-s2", "ivf-s2-int8")
         and r["cand_per_q"] < 0.5 * extras2["n"]
-        and r["mb_per_q"] < 0.5 * flat_row2["mb_per_q"]
+        and r["mb_per_q"] < 0.5 * flat_mb
     ]
     best2 = max(sel2, key=lambda r: r["qps"]) if sel2 else None
     if best2 is None:
@@ -255,34 +272,66 @@ def _stage2_only_main(args) -> None:
             "# stage2 verdict: no selective point met the floor",
             file=sys.stderr,
         )
+        return None, flat_row2
+    flat_str = (
+        f"flat contrast: {flat_row2['qps']:,.0f} qps at R@10="
+        f"{flat_row2.get('r@10', 0):.4f} ({flat_row2['mb_per_q']:.2f}MB/q)"
+        if flat_row2 is not None
+        else "flat contrast UNAVAILABLE (flat-s2 points failed on-device)"
+    )
+    print(
+        f"# stage2 verdict: selective IVF meets the floor at "
+        f"{best2['qps']:,.0f} qps ({best2['tag']}/{best2['method']} "
+        f"nprobe={best2['nprobe']}, cand/q={best2['cand_per_q']:,.0f} of "
+        f"n={extras2['n']:,}, swept={best2['mb_per_q']:.2f}MB/q); "
+        + flat_str,
+        file=sys.stderr,
+    )
+    return best2, flat_row2
+
+
+def _stage2_json(best2, flat_row2, cpu2_best, extras2, debug=False):
+    """The stage-2 half of the final JSON payload (metric/value/vs_baseline
+    + stage-2 fields), shared by main and --stage2-only."""
+    metric = (
+        ("[stage2-only debug] " if debug else "")
+        + f"QPS at recall@10>={RECALL_FLOOR}, selective IVF on clustered "
+        f"n={extras2['n']} d={extras2['d']} "
+        f"(winner={best2['tag']}/{best2['method']}@nprobe={best2['nprobe']}, "
+        f"cand/q={best2['cand_per_q']:.0f}, "
+        f"swept={best2['mb_per_q']:.2f}MB/q)"
+    )
+    if not extras2.get("cpu_floor_met", True):
+        metric += " [CPU baseline below recall floor]"
+    out = {
+        "metric": metric,
+        "value": round(best2["qps"], 1),
+        "unit": "qps",
+        "vs_baseline": round(best2["qps"] / max(cpu2_best["qps"], 1e-9), 2),
+        "stage2_cpu_ivf_qps": round(cpu2_best["qps"], 1),
+        "stage2_cpu_floor_met": extras2.get("cpu_floor_met", True),
+        "stage2_build_seconds": round(extras2["build_seconds"], 1),
+    }
+    if flat_row2 is not None:
+        out["flat_s2_qps"] = round(flat_row2["qps"], 1)
+        out["flat_s2_r10"] = flat_row2.get("r@10", 0.0)
+    return out
+
+
+def _stage2_only_main(args) -> None:
+    """Debug entry (--stage2-only): run just the stage-2 regime and print
+    its verdict + a JSON line without stage1_* fields."""
+    rows2, cpu2_best, extras2 = _stage2(args)
+    best2, flat_row2 = _stage2_verdict(rows2, extras2)
+    if best2 is None:
         print(json.dumps({
             "metric": "stage2-only: no selective floor-meeting point",
             "value": 0.0, "unit": "qps", "vs_baseline": 0.0,
         }))
         return
-    print(
-        f"# stage2 verdict: selective IVF meets the floor at "
-        f"{best2['qps']:,.0f} qps ({best2['tag']}/{best2['method']} "
-        f"nprobe={best2['nprobe']}, cand/q={best2['cand_per_q']:,.0f} of "
-        f"n={extras2['n']:,}, swept={best2['mb_per_q']:.2f}MB/q vs flat "
-        f"{flat_row2['mb_per_q']:.2f}); flat contrast: "
-        f"{flat_row2['qps']:,.0f} qps at R@10="
-        f"{flat_row2.get('r@10', 0):.4f}",
-        file=sys.stderr,
-    )
-    print(json.dumps({
-        "metric": (
-            f"[stage2-only debug] QPS at recall@10>={RECALL_FLOOR}, "
-            f"selective IVF on clustered n={extras2['n']} "
-            f"(winner={best2['tag']}/{best2['method']}@nprobe="
-            f"{best2['nprobe']})"
-        ),
-        "value": round(best2["qps"], 1),
-        "unit": "qps",
-        "vs_baseline": round(best2["qps"] / max(cpu2_best["qps"], 1e-9), 2),
-        "flat_s2_qps": round(flat_row2["qps"], 1),
-        "flat_s2_r10": flat_row2.get("r@10", 0.0),
-    }))
+    print(json.dumps(
+        _stage2_json(best2, flat_row2, cpu2_best, extras2, debug=True)
+    ))
 
 
 def main() -> None:
@@ -314,7 +363,12 @@ def main() -> None:
         args.n, args.nq, args.min_time = 20_000, 200, 0.5
         args.stage2_n = min(args.stage2_n, 50_000)
     if args.cpu:
-        args.stage2_n = 0  # CPU smoke: stage 1 exercises every code path
+        # CPU smoke: stage 1 exercises every code path, so stage 2 is
+        # skipped UNLESS it is the thing being smoked (--stage2-only),
+        # where it runs at a tiny n with shrunk query/k axes (see _stage2).
+        args.stage2_n = (
+            min(args.stage2_n, 6_000) if args.stage2_only else 0
+        )
 
     import jax
 
@@ -530,34 +584,10 @@ def main() -> None:
     rows2, best2, flat_row2, cpu2_best, extras2 = [], None, None, None, None
     if s2 is not None:
         rows2, cpu2_best, extras2 = s2
-        flat_row2 = next(r for r in rows2 if r["method"] == "flat")
-        at_floor2 = [r for r in rows2 if r.get("r@10", 0.0) >= RECALL_FLOOR]
-        # Headline-eligible = genuinely SELECTIVE floor-meeting points:
-        # ranks a fraction of the corpus AND sweeps a fraction of flat's
-        # bytes (excludes the masked full-table dense sweep).
-        sel2 = [
-            r for r in at_floor2
-            if r["tag"] in ("ivf-s2", "ivf-s2-int8")
-            and r["cand_per_q"] < 0.5 * extras2["n"]
-            and r["mb_per_q"] < 0.5 * flat_row2["mb_per_q"]
-        ]
-        if sel2:
-            best2 = max(sel2, key=lambda r: r["qps"])
+        best2, flat_row2 = _stage2_verdict(rows2, extras2)
+        if best2 is None:
             print(
-                f"# stage2 verdict: selective IVF meets the floor at "
-                f"{best2['qps']:,.0f} qps ({best2['method']} nprobe="
-                f"{best2['nprobe']}, cand/q={best2['cand_per_q']:,.0f} of "
-                f"n={extras2['n']:,}, swept={best2['mb_per_q']:.2f}MB/q vs "
-                f"flat {flat_row2['mb_per_q']:.2f}); flat contrast: "
-                f"{flat_row2['qps']:,.0f} qps at R@10="
-                f"{flat_row2.get('r@10', 0):.4f}",
-                file=sys.stderr,
-            )
-        else:
-            print(
-                "# stage2 verdict: no selective point met the floor "
-                "(falling back to the stage-1 headline)",
-                file=sys.stderr,
+                "# (falling back to the stage-1 headline)", file=sys.stderr
             )
 
     if args.full:
@@ -633,22 +663,8 @@ def main() -> None:
         "stage1_vs_cpu": round(best_qps / max(cpu_best["qps"], 1e-9), 2),
     }
     if best2 is not None:
-        metric = (
-            f"QPS at recall@10>={RECALL_FLOOR}, selective IVF on clustered "
-            f"n={extras2['n']} d=128 nq=1024 k=100 "
-            f"(winner={best2['method']}@nprobe={best2['nprobe']}, "
-            f"cand/q={best2['cand_per_q']:.0f}, "
-            f"swept={best2['mb_per_q']:.2f}MB/q vs flat "
-            f"{flat_row2['mb_per_q']:.2f}MB/q)"
-        )
-        value = best2["qps"]
-        vs = value / max(cpu2_best["qps"], 1e-9)
-        payload.update(
-            flat_s2_qps=round(flat_row2["qps"], 1),
-            flat_s2_r10=flat_row2.get("r@10", 0.0),
-            stage2_cpu_ivf_qps=round(cpu2_best["qps"], 1),
-            stage2_build_seconds=round(extras2["build_seconds"], 1),
-        )
+        out = _stage2_json(best2, flat_row2, cpu2_best, extras2)
+        out.update(payload)
     else:
         metric = (
             f"QPS at recall@10>={RECALL_FLOOR} (synthetic n={args.n} "
@@ -657,19 +673,14 @@ def main() -> None:
         )
         if not floor_met:
             metric += f" [floor unmet; max R@10={best_row.get('r@10', 0):.3f}]"
-        value = best_qps
-        vs = best_qps / max(cpu_best["qps"], 1e-9)
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(value, 1),
-                "unit": "qps",
-                "vs_baseline": round(vs, 2),
-                **payload,
-            }
-        )
-    )
+        out = {
+            "metric": metric,
+            "value": round(best_qps, 1),
+            "unit": "qps",
+            "vs_baseline": round(best_qps / max(cpu_best["qps"], 1e-9), 2),
+            **payload,
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -27,6 +27,35 @@ def synthetic(
     return xb, xq
 
 
+def clustered(
+    n: int, d: int, nq: int, seed: int = 42, ncent: Optional[int] = None,
+    spread: float = 4.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Seeded clustered (SIFT-shaped) corpus + queries: ``ncent`` Gaussian
+    centers at scale ``spread``, unit-variance points and queries around
+    them — the realistic IVF regime (isotropic noise needs nprobe in the
+    hundreds and demonstrates nothing about selectivity). ONE generator
+    shared by the headline bench's stage 2, the capacity artifacts, and
+    the kernel A/B scripts so they all measure the same distribution.
+    Filled in 500k-row chunks to bound the peak RNG scratch at 10M+."""
+    g = np.random.default_rng(seed)
+    if ncent is None:
+        ncent = max(64, min(1024, n // 1000))
+    centers = g.normal(0, spread, size=(ncent, d)).astype(np.float32)
+    xb = np.empty((n, d), np.float32)
+    step = 500_000
+    for s in range(0, n, step):
+        e = min(s + step, n)
+        xb[s:e] = (
+            centers[g.integers(0, ncent, e - s)]
+            + g.normal(0, 1.0, (e - s, d))
+        ).astype(np.float32)
+    xq = (
+        centers[g.integers(0, ncent, nq)] + g.normal(0, 1.0, (nq, d))
+    ).astype(np.float32)
+    return xb, xq
+
+
 def read_fvecs(path: str, count: Optional[int] = None) -> np.ndarray:
     """fvecs: per record [dim:int32 little-endian][dim float32s]."""
     raw = np.fromfile(path, dtype=np.uint8)

@@ -35,25 +35,12 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from benchmarks.datasets import clustered
     from benchmarks.harness import work_accounting
     from vector_indexer_tpu.index import IvfIndex
     from vector_indexer_tpu.storage import VectorStore
 
-    g = np.random.default_rng(42)
-    ncent = max(64, min(1024, args.n // 1000))
-    centers = g.normal(0, 4.0, size=(ncent, args.d)).astype(np.float32)
-    xb = np.empty((args.n, args.d), np.float32)
-    step = 500_000
-    for s in range(0, args.n, step):
-        e = min(s + step, args.n)
-        xb[s:e] = (
-            centers[g.integers(0, ncent, e - s)]
-            + g.normal(0, 1.0, (e - s, args.d))
-        ).astype(np.float32)
-    xq = (
-        centers[g.integers(0, ncent, args.nq)]
-        + g.normal(0, 1.0, (args.nq, args.d))
-    ).astype(np.float32)
+    xb, xq = clustered(args.n, args.d, args.nq, seed=42)
 
     t0 = time.perf_counter()
     store = VectorStore(

@@ -68,21 +68,10 @@ def main() -> None:
     # Clustered (SIFT-shaped) corpus — the realistic IVF regime (isotropic
     # noise at 10M would need nprobe in the hundreds and demonstrate
     # nothing about residency).
-    g = np.random.default_rng(42)
+    from benchmarks.datasets import clustered
+
     ncent = 2048
-    centers = g.normal(0, 4.0, size=(ncent, args.d)).astype(np.float32)
-    xb = np.empty((args.n, args.d), np.float32)
-    step = 500_000
-    for s in range(0, args.n, step):
-        e = min(s + step, args.n)
-        xb[s:e] = (
-            centers[g.integers(0, ncent, e - s)]
-            + g.normal(0, 1.0, (e - s, args.d))
-        ).astype(np.float32)
-    xq = (
-        centers[g.integers(0, ncent, args.nq)]
-        + g.normal(0, 1.0, (args.nq, args.d))
-    ).astype(np.float32)
+    xb, xq = clustered(args.n, args.d, args.nq, seed=42, ncent=ncent)
     nprobes = [int(x) for x in args.nprobes.split(",")]
     print(f"# corpus ready: {args.n:,} x {args.d} "
           f"({xb.nbytes / 2**30:.2f} GiB f32)", file=sys.stderr, flush=True)

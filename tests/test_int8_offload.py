@@ -239,3 +239,30 @@ def test_offload_serves_stream_shared(monkeypatch):
     Dn, In = idx.search_batch(q, 8, idx.num_clusters)
     for a, b in zip(Is, In):
         assert set(a.tolist()) == set(b.tolist())
+
+
+def test_offload_auto_single_query_dispatches_nq1(monkeypatch):
+    """A single (d,) query through the offloaded auto dispatch must reach
+    choose_method as nq=1, not nq=d (regression: the raw dim leaked in as
+    the batch size, so any d >= SHARED_MIN_NQ mis-picked the shared
+    kernel for a one-query call)."""
+    import vector_indexer_tpu.index.ivf as ivf_mod
+
+    data, _, _ = make_gaussian_clusters(8, 150, 24, spread=0.4,
+                                        separation=8.0)
+    idx = IvfIndex.fit(_store(data), seed=7)
+    idx.offload_main_table(rerank="none")  # direct device dispatch path
+
+    # Gate tuned so the old bug would flip it: d=24 passes nq>=4, a real
+    # single query must not.
+    monkeypatch.setattr(ivf_mod, "SHARED_MIN_NQ", 4)
+    monkeypatch.setattr(ivf_mod, "SHARED_MIN_PROBED_ROWS", 1)
+    seen = []
+    orig = idx.choose_method
+    monkeypatch.setattr(
+        idx, "choose_method",
+        lambda nq, p: (seen.append(nq), orig(nq, p))[1],
+    )
+    D, I = idx.search_batch(data[0] + 0.01, 5, idx.num_clusters)
+    assert seen == [1]
+    assert I.shape[-1] == 5 and int(I.ravel()[0]) >= 0

@@ -423,6 +423,25 @@ SHARED_MIN_PROBED_ROWS = 512 << 10
 SHARED_MIN_NQ = 1024
 
 
+def mean_slot_rows_of(lengths_np, chunk: int) -> float:
+    """Expected chunk-aligned probed rows per cell (mean over cells) — the
+    footprint unit every stream-path gate is calibrated in."""
+    chunk = max(chunk, 1)
+    if len(lengths_np) == 0:
+        return 0.0
+    return float(np.ceil(lengths_np / chunk).mean()) * chunk
+
+
+def shared_gate(nq: int, n_probe: int, mean_slot_rows: float) -> bool:
+    """ONE shared-kernel upgrade rule for both dispatchers (the device-
+    resident ``choose_sweep_body`` and the offloaded ``choose_method``
+    branch), so a recalibration can never make them diverge."""
+    return (
+        nq >= SHARED_MIN_NQ
+        and n_probe * mean_slot_rows >= SHARED_MIN_PROBED_ROWS
+    )
+
+
 def choose_sweep_body(
     lengths_np, n_rows: int, d: int, itemsize: int, nq: int, n_probe: int,
     chunk: int, allow_shared: bool = False,
@@ -448,8 +467,7 @@ def choose_sweep_body(
     vs flat 46k). The model reproduces every measured verdict."""
     if n_rows == 0 or len(lengths_np) == 0:
         return "dense"
-    chunk = max(chunk, 1)
-    mean_slot_rows = float(np.ceil(lengths_np / chunk).mean()) * chunk
+    mean_slot_rows = mean_slot_rows_of(lengths_np, chunk)
     stream_q = (
         n_probe * mean_slot_rows * d * itemsize * 1.15 + STREAM_FIXED_QBYTES
     )
@@ -462,11 +480,7 @@ def choose_sweep_body(
     # Q_SHARE-query group beats per-query fetches (see SHARED_MIN_* above).
     # Only the single-chip dispatcher opts in (``allow_shared``); the mesh
     # searchers' bodies run the per-query kernel.
-    if (
-        allow_shared
-        and nq >= SHARED_MIN_NQ
-        and n_probe * mean_slot_rows >= SHARED_MIN_PROBED_ROWS
-    ):
+    if allow_shared and shared_gate(nq, n_probe, mean_slot_rows):
         return "stream_shared"
     return "stream"
 
@@ -1153,15 +1167,8 @@ class IvfIndex:
             # lossier (set-overlap@10 0.947 vs stream 0.972 on a 12-blob
             # d=64 corpus, R@1=1.0 both).
             chunk = pick_chunk(lengths, d, itemsize)
-            mean_slot_rows = (
-                float(np.ceil(lengths / max(chunk, 1)).mean()) * max(chunk, 1)
-                if len(lengths)
-                else 0.0
-            )
-            if (
-                getattr(self, "_offload_rerank", "host") == "host"
-                and nq >= SHARED_MIN_NQ
-                and n_probe * mean_slot_rows >= SHARED_MIN_PROBED_ROWS
+            if getattr(self, "_offload_rerank", "host") == "host" and (
+                shared_gate(nq, n_probe, mean_slot_rows_of(lengths, chunk))
             ):
                 return "stream_shared"
             return "stream"
@@ -1348,10 +1355,15 @@ class IvfIndex:
             )
         if getattr(self, "offloaded", False):
             if method == "auto":
-                method = self.choose_method(
-                    queries.shape[0] if hasattr(queries, "shape") else 1,
-                    n_probe,
+                # nq must reflect the POST-reshape batch: a single (d,)
+                # query is nq=1, not nq=d (at d>=1024 the raw dim would
+                # pass SHARED_MIN_NQ and mis-pick the shared kernel).
+                nq_eff = (
+                    queries.shape[0]
+                    if getattr(queries, "ndim", 1) > 1
+                    else 1
                 )
+                method = self.choose_method(nq_eff, n_probe)
             if method not in ("stream", "stream_shared"):
                 raise RuntimeError(
                     "offloaded index serves the stream kernels only (the "
