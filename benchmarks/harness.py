@@ -50,19 +50,26 @@ def work_accounting(core, xq: np.ndarray, n_probe: int, method: str) -> dict:
     selective paths (gather/stream) read ~candidate bytes, while the
     masked-sweep paths (dense/flat) read the WHOLE table regardless of
     nprobe — without these columns a flat win can masquerade as IVF
-    (the round-2 headline failure mode)."""
-    from vector_indexer_tpu.index.ivf import pick_q_tile
+    (the round-2 headline failure mode).
+
+    The method resolution, fallback gates, and static program sizing all
+    come from ``index.dispatch.resolve`` — the SAME Decision object
+    ``IvfIndex.search_batch_device`` binds to a program, so this report
+    can never drift from what the dispatch actually runs (it did twice
+    when the gates were hand-mirrored here; round-3 advisor, round-4
+    verdict weak-item 7)."""
+    from vector_indexer_tpu.index.dispatch import resolve
 
     lay = core.layout
     d = core.dimension
     nq = len(xq)
     n_probe = min(n_probe, core.num_clusters)
-    if method == "auto":
-        method = core.choose_method(nq, n_probe)
+    dec = resolve(core, nq, n_probe, k=100, method=method)
 
     lengths = np.asarray(lay.lengths)
-    if method.startswith("flat"):
+    if dec.program.startswith("flat"):
         cand = float(lengths.sum())
+        dc = None
     else:
         # Host coarse scan (cheap: nq x nlist) -> mean probed candidates.
         cents = np.asarray(core.centroids, np.float32)
@@ -82,68 +89,15 @@ def work_accounting(core, xq: np.ndarray, n_probe: int, method: str) -> dict:
         if lay.vectors is not None
         else getattr(core, "_n_pad", lay.n)
     )
-    if method.startswith(("flat", "dense")):
-        import jax
-
-        from vector_indexer_tpu.index.ivf import _FUSED_SWEEP_ON
-
-        q_tile = pick_q_tile(nq, table_rows * 4 // d, d)
-        # Mirror the dispatch: 'flat'/'dense' route through the fused
-        # sweep by default on TPU, which amortizes over ITS plan's query
-        # tile (headline k=100 operating point assumed for the plan);
-        # '*_xla' pins the XLA program.
-        int8_mode = "_int8" in method
-        # Same gate the dispatch applies before even planning the int8
-        # kernel (ivf.py int8 branch: d % 128 == 0 and non-CPU backend).
-        kernel_ok = d % 128 == 0 and jax.default_backend() != "cpu"
-        if int8_mode and not kernel_ok:
-            method = "flat" if method.startswith("flat") else "dense"
-            int8_mode = False
-        fused = method.endswith("_fused") or int8_mode or (
-            method in ("flat", "dense")
-            and _FUSED_SWEEP_ON
-            and lay.n > 50_000
-            and kernel_ok
-        )
-        # int8 fixed-point sweeps read 2 B/element (values + residual);
-        # the 1-pass x1 variants read 1 B. Exact paths read the f32 table.
-        elem_bytes = 4
-        if int8_mode:
-            elem_bytes = 1 if method.endswith("x1") else 2
-        if fused:
-            from vector_indexer_tpu.ops.pallas.flat_sweep import plan_fused
-
-            plan = plan_fused(
-                table_rows, d, nq, 100,
-                precision=(
-                    ("int8x1" if method.endswith("x1") else "int8")
-                    if int8_mode
-                    else "highest"
-                ),
-            )
-            if plan is not None:
-                q_tile = plan[1]
-            elif int8_mode:
-                # Mirror the dispatch (ivf.py int8 branch): when the fused
-                # plan declines the shape, the int8 methods degrade to the
-                # exact f32 XLA twin — report THAT method and its bytes,
-                # not the int8 label at 1-2 B/element.
-                method = "flat" if method.startswith("flat") else "dense"
-                elem_bytes = 4
-        bytes_q = table_rows * d * elem_bytes / q_tile  # table sweep per tile
-    elif method.startswith("stream"):
-        from vector_indexer_tpu.ops.pallas.block_stream import (
-            per_query_slots,
-            pick_chunk,
-        )
-
-        itemsize = np.dtype(core.stream_dtype).itemsize
-        chunk = pick_chunk(lengths, d, itemsize)
-        t_fixed = per_query_slots(lengths, n_probe, chunk=chunk)
+    if dec.program in ("flat_fused", "flat_xla", "dense_fused", "dense_xla"):
+        # Table sweep per query tile, at the Decision's element width
+        # (4 B f32, 2 B int8+residual, 1 B one-pass int8).
+        bytes_q = table_rows * d * dec.elem_bytes / dec.q_tile
+    elif dec.program in ("stream", "stream_shared"):
         # Probed blocks only (per-query kernel model; the shared block-major
         # variant fetches each block once per tile, so this upper-bounds it).
-        bytes_q = t_fixed * chunk * d * itemsize
-    elif method == "staged":
+        bytes_q = dec.t_fixed * dec.chunk * d * dec.elem_bytes
+    elif dec.program == "staged":
         # Host-resident serving: the h2d cost is the batch-wide UNION of
         # probed cells' aligned blocks (index/staged.py), amortized over
         # the batch — the analogue of the reference's per-query disk reads.
@@ -159,8 +113,8 @@ def work_accounting(core, xq: np.ndarray, n_probe: int, method: str) -> dict:
         ).itemsize
         bytes_q = float(alens.sum()) * (d * stage_item + 4) / nq
     else:  # gather paths: per-query candidate row gather
-        bytes_q = core._budget_for(n_probe) * d * 4
-    return dict(method=method, cand_per_q=cand, mb_per_q=bytes_q / 2**20)
+        bytes_q = dec.budget * d * 4
+    return dict(method=dec.method, cand_per_q=cand, mb_per_q=bytes_q / 2**20)
 
 
 def recall_at(I: np.ndarray, gt: np.ndarray, rank: int) -> float:

@@ -214,7 +214,7 @@ def test_offload_serves_stream_shared(monkeypatch):
     shared kernel at huge probed footprints (choose_method). Force the
     gate open (tiny thresholds) and check BOTH rerank modes produce the
     per-query kernel's result sets through the auto path."""
-    import vector_indexer_tpu.index.ivf as ivf_mod
+    import vector_indexer_tpu.index.dispatch as dispatch_mod
 
     data, _, _ = make_gaussian_clusters(8, 150, 24, spread=0.4, separation=8.0)
     idx = IvfIndex.fit(_store(data), seed=7)
@@ -222,8 +222,10 @@ def test_offload_serves_stream_shared(monkeypatch):
     idx.offload_main_table()  # rerank='host'
     Ds, Is = idx.search_batch(q, 8, idx.num_clusters, method="stream")
 
-    monkeypatch.setattr(ivf_mod, "SHARED_MIN_NQ", 1)
-    monkeypatch.setattr(ivf_mod, "SHARED_MIN_PROBED_ROWS", 1)
+    # shared_gate reads the dispatch module's globals (ivf re-exports them
+    # read-only), so the gate is forced open THERE.
+    monkeypatch.setattr(dispatch_mod, "SHARED_MIN_NQ", 1)
+    monkeypatch.setattr(dispatch_mod, "SHARED_MIN_PROBED_ROWS", 1)
     assert idx.choose_method(len(q), idx.num_clusters) == "stream_shared"
     Dh, Ih = idx.search_batch(q, 8, idx.num_clusters)  # auto -> shared
     for a, b in zip(Is, Ih):
@@ -246,7 +248,7 @@ def test_offload_auto_single_query_dispatches_nq1(monkeypatch):
     choose_method as nq=1, not nq=d (regression: the raw dim leaked in as
     the batch size, so any d >= SHARED_MIN_NQ mis-picked the shared
     kernel for a one-query call)."""
-    import vector_indexer_tpu.index.ivf as ivf_mod
+    import vector_indexer_tpu.index.dispatch as dispatch_mod
 
     data, _, _ = make_gaussian_clusters(8, 150, 24, spread=0.4,
                                         separation=8.0)
@@ -255,8 +257,8 @@ def test_offload_auto_single_query_dispatches_nq1(monkeypatch):
 
     # Gate tuned so the old bug would flip it: d=24 passes nq>=4, a real
     # single query must not.
-    monkeypatch.setattr(ivf_mod, "SHARED_MIN_NQ", 4)
-    monkeypatch.setattr(ivf_mod, "SHARED_MIN_PROBED_ROWS", 1)
+    monkeypatch.setattr(dispatch_mod, "SHARED_MIN_NQ", 4)
+    monkeypatch.setattr(dispatch_mod, "SHARED_MIN_PROBED_ROWS", 1)
     seen = []
     orig = idx.choose_method
     monkeypatch.setattr(

@@ -45,23 +45,23 @@ from ..utils.tracing import trace
 
 log = logging.getLogger("vector_indexer_tpu")
 
-_QUERY_TILE = 256  # queries per device tile in the search program
-
-# Route 'flat' and 'dense' through the fused Pallas sweep (flat_sweep.py)
-# on TPU: the real-chip A/Bs (2026-08-18, bench_results/r3_tpu100k)
-# measured flat_fused 284,666 qps vs 70,907 for the XLA flat program and
-# dense_fused 201,529 vs 138,420 for the XLA dense program, same-window
-# (n=100k d=128 k=100, R@10=1.0 / exact distances in both pairs) — the
-# fused on-chip selection removes the ~11 ms/kilobatch materialized-plane
-# top-k that dominated the XLA paths. VITPU_FUSED_SWEEP=0 (legacy alias
-# VITPU_FUSED_FLAT) restores the XLA programs; CPU / odd-d / over-VMEM
-# shapes fall back automatically either way, and 'flat_xla'/'dense_xla'
-# pin the XLA programs explicitly for A/B baselines.
-_FUSED_SWEEP_ON = (
-    os.environ.get(
-        "VITPU_FUSED_SWEEP", os.environ.get("VITPU_FUSED_FLAT", "1")
-    )
-    == "1"
+# The method-decision model (auto resolution, fused-routing gates, byte
+# model, tile/slot sizing) lives in index/dispatch.py — ONE module consumed
+# by both this dispatcher and the bench harness's work accounting. The
+# names below are re-exported here for backward compatibility (tests,
+# mesh searchers, and A/B scripts import them from this module).
+from .dispatch import (  # noqa: F401  (re-exports)
+    _FUSED_SWEEP_ON,
+    _QUERY_TILE,
+    SHARED_MIN_NQ,
+    SHARED_MIN_PROBED_ROWS,
+    STREAM_FIXED_QBYTES,
+    choose_sweep_body,
+    mean_slot_rows_of,
+    pick_q_tile,
+    resolve,
+    shared_gate,
+    stream_params,
 )
 
 
@@ -174,16 +174,6 @@ def _ivf_search_program(
     tiles = queries.reshape(nq_pad // q_tile, q_tile, d)
     dvals, ivals = jax.lax.map(one_tile, tiles)
     return dvals.reshape(nq_pad, k), ivals.reshape(nq_pad, k)
-
-
-def pick_q_tile(nq: int, budget: int, d: int, mem_cap_bytes: int = 3 << 29) -> int:
-    """Query-tile size so the per-tile intermediates stay under ~mem_cap
-    bytes of live HBM (default 1.5 GB; the v5e has 16 GB and the table
-    itself is the only other large resident)."""
-    per_query = max(1, budget * d * 4)
-    qt = max(8, min(_QUERY_TILE, mem_cap_bytes // per_query))
-    qt = min(qt, _round_up(nq, 8))
-    return max(8, (qt // 8) * 8)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "q_tile", "approx", "metric"))
@@ -398,91 +388,6 @@ def _dedup_topk(dvals, rows, perm_dev, *, k: int):
     rsel = jnp.take_along_axis(rows, jnp.maximum(sel, 0), axis=1)
     rsel = jnp.where((sel >= 0) & jnp.isfinite(dv), rsel, -1)
     return dv, rsel
-
-
-# Fixed per-query overhead of the stream path in byte-equivalents: two
-# device selections (coarse probe pick + final candidate top-k, each on
-# the ~11 ms/kilobatch selection curve) plus the exact re-rank gather.
-# Calibrated so the model reproduces every same-window real-chip verdict
-# (see choose_sweep_body).
-STREAM_FIXED_QBYTES = 160 << 10
-
-
-# Block-major query sharing (stream_shared) beats the per-query stream
-# kernel only once each query's probed footprint is ENORMOUS. The original
-# 48k-row boundary (bench_results/shared_regime) was measured against the
-# UNFUSED per-query kernel; the fused-selection kernel moved it by an
-# order of magnitude: same-window 3-arm A/Bs (2026-08-19,
-# bench_results/fused_stream_ab/shared_corner*) measured shared/fused =
-# 0.59-0.92 at 81k-319k probed rows/query and 1.25-1.27x at 617k (nq 1024
-# and 4096 agree). The threshold sits past the interpolated ~400k
-# crossover, conservatively favoring fused (which also returns result
-# sets closer to the exact path: intersection 0.96-1.00 vs shared's
-# 0.92-0.98 under its t_cap truncation).
-SHARED_MIN_PROBED_ROWS = 512 << 10
-SHARED_MIN_NQ = 1024
-
-
-def mean_slot_rows_of(lengths_np, chunk: int) -> float:
-    """Expected chunk-aligned probed rows per cell (mean over cells) — the
-    footprint unit every stream-path gate is calibrated in."""
-    chunk = max(chunk, 1)
-    if len(lengths_np) == 0:
-        return 0.0
-    return float(np.ceil(lengths_np / chunk).mean()) * chunk
-
-
-def shared_gate(nq: int, n_probe: int, mean_slot_rows: float) -> bool:
-    """ONE shared-kernel upgrade rule for both dispatchers (the device-
-    resident ``choose_sweep_body`` and the offloaded ``choose_method``
-    branch), so a recalibration can never make them diverge."""
-    return (
-        nq >= SHARED_MIN_NQ
-        and n_probe * mean_slot_rows >= SHARED_MIN_PROBED_ROWS
-    )
-
-
-def choose_sweep_body(
-    lengths_np, n_rows: int, d: int, itemsize: int, nq: int, n_probe: int,
-    chunk: int, allow_shared: bool = False,
-) -> str:
-    """Dense-vs-stream auto selection: ONE calibrated byte model shared by
-    the single-chip dispatcher and every mesh searcher's local slice.
-
-    Per-query byte-equivalent costs:
-      * stream: EXPECTED chunk-aligned probed bytes (mean over cells) with
-        a 15% task-overhead markup, plus ``STREAM_FIXED_QBYTES`` for the
-        path's fixed selections/re-rank. The kernel's padded static slot
-        budget (per_query_slots) overstates real work 2-5x at moderate
-        nprobe — modeling with it mispicked dense at n=512k nprobe<=16,
-        where stream measured 1.7x faster.
-      * dense: the whole table swept once per query tile (the fused-sweep
-        default's epilogue cost is negligible next to its sweep bytes).
-
-    Calibrated against same-window real-chip A/Bs (2026-08-18):
-    n=100k/nlist=1268 dense wins every nprobe (dense_fused 201k qps vs
-    stream 101-124k); n=512k/nlist=2864 stream wins nprobe<=16
-    (93k/92k/67k vs 56k) and dense wins nprobe>=32 (56k vs 52k/32k);
-    n=1M/nlist=4000 stream wins low nprobe (round-2 table: 219k @ np=8
-    vs flat 46k). The model reproduces every measured verdict."""
-    if n_rows == 0 or len(lengths_np) == 0:
-        return "dense"
-    mean_slot_rows = mean_slot_rows_of(lengths_np, chunk)
-    stream_q = (
-        n_probe * mean_slot_rows * d * itemsize * 1.15 + STREAM_FIXED_QBYTES
-    )
-    q_tile_d = pick_q_tile(nq, max(n_rows * 4 // d, 1), d)
-    dense_q = -(-nq // q_tile_d) * n_rows * d * 4 / max(nq, 1)
-    if dense_q <= stream_q:
-        return "dense"
-    # Upgrade to the block-major shared kernel when every query's probed
-    # footprint is big enough that re-fetching each block once per
-    # Q_SHARE-query group beats per-query fetches (see SHARED_MIN_* above).
-    # Only the single-chip dispatcher opts in (``allow_shared``); the mesh
-    # searchers' bodies run the per-query kernel.
-    if allow_shared and shared_gate(nq, n_probe, mean_slot_rows):
-        return "stream_shared"
-    return "stream"
 
 
 def _host_topk(exact, internal, k: int):
@@ -1258,10 +1163,39 @@ class IvfIndex:
         # per-cluster error exceeds the top-k distance gaps.
         mult = getattr(self, "_offload_rerank_mult", 2)
         kk = (1 + spill) * min(max(mult * k, 128), 4096)
-        _, rows = self.search_batch_device(
-            queries, kk, n_probe, self.choose_method(nq, n_probe), _raw=True
+        # Pipeline the device sweep against the host GEMM (round-4 task 7:
+        # exact re-rank cost ~45% of off-dev throughput when serial): split
+        # deep batches in two and dispatch BOTH device sweeps before the
+        # first fetch — JAX dispatch is async, so piece 2's sweep runs on
+        # device while piece 1 is gathered + re-ranked on the host. One
+        # extra result fetch (~28 ms on this tunnel) buys ~half the sweep
+        # time of overlap; shallow batches keep the single dispatch. The
+        # method is chosen ONCE at the full batch size so the split can
+        # never flip the auto model's choice.
+        method = self.choose_method(nq, n_probe)
+        pieces = 2 if nq >= 512 else 1
+        bounds = [(i * nq // pieces, (i + 1) * nq // pieces)
+                  for i in range(pieces)]
+        futs = [
+            self.search_batch_device(queries[a:b], kk, n_probe, method,
+                                     _raw=True)[1]
+            for a, b in bounds
+        ]
+        outs = [
+            self._offload_rerank_piece(
+                queries[a:b], np.asarray(rows_dev)[: b - a], k, spill
+            )
+            for (a, b), rows_dev in zip(bounds, futs)
+        ]
+        return (
+            np.concatenate([o[0] for o in outs], axis=0),
+            np.concatenate([o[1] for o in outs], axis=0),
         )
-        rows = np.asarray(rows)[:nq]
+
+    def _offload_rerank_piece(self, queries, rows, k: int, spill: int):
+        """Host half of the offloaded search for one query piece: exact
+        re-rank (+ dedup when spilled) of the device shortlist from the
+        host mirror."""
         lay = self.layout
         bound = max(lay.rows_used - 1, 0)
         internal = np.where(rows >= 0, lay.perm[np.clip(rows, 0, bound)], -1)
@@ -1413,195 +1347,81 @@ class IvfIndex:
 
         n_probe = min(n_probe, self.num_clusters)
         lay = self.layout
-        if method == "auto":
-            method = self.choose_method(nq, n_probe)
+        # ONE decision path (index/dispatch.py::resolve, shared with the
+        # bench harness's work accounting): resolves 'auto', applies every
+        # fused-routing gate and feasibility fallback, and sizes the
+        # program statically. This dispatcher only binds the Decision to
+        # the concrete jitted programs.
+        dec = resolve(self, nq, n_probe, k=k, method=method)
 
         centroids, c_sq = self._device_tables()
-        # Explicit int8 fixed-point sweeps (faiss-SQ8-style approximate
-        # operating points): 'flat_int8'/'dense_int8' run 3 int8 MXU
-        # passes (~1.5 bf16-pass-equivalents, half the serving 3pass's
-        # MXU time and half its sweep bytes; isotropic R@10 ~0.999);
-        # the '*_int8x1' variants run ONE pass (~6x less MXU; R@10
-        # ~0.98). CPU / odd-d / over-VMEM / d>2048 degrade to the exact
-        # XLA twins, mirroring the fused methods' fallback.
-        if method in ("flat_int8", "flat_int8x1", "dense_int8", "dense_int8x1"):
-            prec = "int8x1" if method.endswith("x1") else "int8"
-            is_flat = method.startswith("flat")
-            plan = None
-            if d % 128 == 0 and jax.default_backend() != "cpu":
-                from ..ops.pallas.flat_sweep import plan_fused
-
-                plan = plan_fused(
-                    lay.vectors.shape[0], d, nq, k, precision=prec
-                )
-            if plan is None:
-                method = "flat" if is_flat else "dense"
-            else:
-                w, q_tile, c_groups = plan
+        if dec.program == "flat_fused":
+            w, q_tile, c_groups = dec.plan
+            if dec.precision in ("int8", "int8x1"):
+                # faiss-SQ8-style approximate operating points
+                # ('flat_int8'/'flat_int8x1'): 3 int8 MXU passes (~1.5
+                # bf16-pass-equivalents, isotropic R@10 ~0.999) or ONE
+                # (~6x less MXU, R@10 ~0.98) vs the serving default's 6.
                 x8, r8, srow = self._sweep_int8_tables()
-                resid = r8 if prec == "int8" else None
-                if is_flat:
-                    return _flat_search_fused_program(
-                        pad_to(q_tile), x8, lay.row_norms, resid, srow,
-                        k=k, q_tile=q_tile, w=w, c_groups=c_groups,
-                        metric=metric, precision=prec,
-                    )
-                run_starts_b, centroids_ord, c_sq_ord = self._run_tables()
+                return _flat_search_fused_program(
+                    pad_to(q_tile), x8, lay.row_norms,
+                    r8 if dec.precision == "int8" else None, srow,
+                    k=k, q_tile=q_tile, w=w, c_groups=c_groups,
+                    metric=metric, precision=dec.precision,
+                )
+            # Fused Pallas sweep: same exact distances, selection via the
+            # on-chip top-2 accumulator plane + a narrow top_k.
+            return _flat_search_fused_program(
+                pad_to(q_tile), lay.vectors, lay.row_norms,
+                k=k, q_tile=q_tile, w=w, c_groups=c_groups, metric=metric,
+            )
+        if dec.program == "flat_xla":
+            return _flat_search_program(
+                pad_to(dec.q_tile), lay.vectors, lay.row_norms,
+                k=k, q_tile=dec.q_tile, approx=dec.approx, metric=metric,
+            )
+        if dec.program == "dense_fused":
+            w, q_tile, c_groups = dec.plan
+            run_starts_b, centroids_ord, c_sq_ord = self._run_tables()
+            if dec.precision in ("int8", "int8x1"):
+                x8, r8, srow = self._sweep_int8_tables()
                 return _ivf_search_dense_fused_program(
                     pad_to(q_tile), centroids_ord, c_sq_ord, x8,
                     lay.row_norms, run_starts_b, jnp.int32(n_probe),
-                    resid, srow,
+                    r8 if dec.precision == "int8" else None, srow,
                     k=k, q_tile=q_tile, w=w, c_groups=c_groups,
-                    metric=metric, precision=prec,
+                    metric=metric, precision=dec.precision,
                 )
-        # 'flat_xla' pins the XLA sweep+top_k program (A/B baseline for the
-        # fused default; also what 'flat' was before the 2026-08-18 flip).
-        if method in ("flat", "flat_exact", "flat_fused", "flat_xla"):
-            approx = method != "flat_exact" and lay.n > 50_000
-            want_fused = method == "flat_fused" or (
-                method == "flat" and _FUSED_SWEEP_ON
+            return _ivf_search_dense_fused_program(
+                pad_to(q_tile), centroids_ord, c_sq_ord, lay.vectors,
+                lay.row_norms, run_starts_b, jnp.int32(n_probe),
+                k=k, q_tile=q_tile, w=w, c_groups=c_groups, metric=metric,
             )
-            if (
-                approx
-                and want_fused
-                and d % 128 == 0
-                and jax.default_backend() != "cpu"
-            ):
-                # Fused Pallas sweep: same exact distances, selection via
-                # the on-chip top-2 accumulator plane + a narrow top_k
-                # (interpret mode is too slow to serve as the CPU path; the
-                # XLA program below remains the CPU/odd-d/over-VMEM
-                # fallback).
-                from ..ops.pallas.flat_sweep import plan_fused
-
-                plan = plan_fused(lay.vectors.shape[0], d, nq, k)
-                if plan is not None:
-                    w, q_tile, c_groups = plan
-                    return _flat_search_fused_program(
-                        pad_to(q_tile),
-                        lay.vectors,
-                        lay.row_norms,
-                        k=k,
-                        q_tile=q_tile,
-                        w=w,
-                        c_groups=c_groups,
-                        metric=metric,
-                    )
-            q_tile = pick_q_tile(nq, lay.vectors.shape[0] * 4 // d, d)
-            return _flat_search_program(
-                pad_to(q_tile),
-                lay.vectors,
-                lay.row_norms,
-                k=k,
-                q_tile=q_tile,
-                approx=approx,
-                metric=metric,
-            )
-        if (
-            method == "dense"
-            and _FUSED_SWEEP_ON
-            and lay.n > 50_000
-            and d % 128 == 0
-            and jax.default_backend() != "cpu"
-        ):
-            # Default flip (2026-08-18 A/B: 201.5k vs 138.4k qps same
-            # window): large-n dense routes through the fused sweep; the
-            # branch below falls back to the XLA program when the fused
-            # plan declines the shape.
-            method = "dense_fused"
-        if method == "dense_fused":
-            # Fused masked-dense path ('dense_xla' pins the XLA program).
-            from ..ops.pallas.flat_sweep import plan_fused
-
-            plan = plan_fused(lay.vectors.shape[0], d, nq, k)
-            if plan is None or d % 128 or jax.default_backend() == "cpu":
-                method = "dense"
-            else:
-                w, q_tile, c_groups = plan
-                run_starts_b, centroids_ord, c_sq_ord = self._run_tables()
-                return _ivf_search_dense_fused_program(
-                    pad_to(q_tile),
-                    centroids_ord,
-                    c_sq_ord,
-                    lay.vectors,
-                    lay.row_norms,
-                    run_starts_b,
-                    jnp.int32(n_probe),
-                    k=k,
-                    q_tile=q_tile,
-                    w=w,
-                    c_groups=c_groups,
-                    metric=metric,
-                )
-        if method in ("dense", "dense_exact", "dense_xla"):
+        if dec.program == "dense_xla":
             run_starts_b, centroids_ord, c_sq_ord = self._run_tables()
-            # Live per-query bytes: the (q_tile, n_pad) distance + mask planes.
-            q_tile = pick_q_tile(nq, lay.vectors.shape[0] * 4 // d, d)
-            # Exact top-k for small corpora (cheap anyway); hardware
-            # approx selection where it pays.
-            approx = method != "dense_exact" and lay.n > 50_000
             return _ivf_search_dense_program(
-                pad_to(q_tile),
-                centroids_ord,
-                c_sq_ord,
-                lay.vectors,
-                lay.row_norms,
-                run_starts_b,
-                jnp.int32(n_probe),
-                k=k,
-                q_tile=q_tile,
-                approx=approx,
-                metric=metric,
+                pad_to(dec.q_tile), centroids_ord, c_sq_ord, lay.vectors,
+                lay.row_norms, run_starts_b, jnp.int32(n_probe),
+                k=k, q_tile=dec.q_tile, approx=dec.approx, metric=metric,
             )
-        if method in (
-            "stream", "stream_exact", "stream_shared", "stream_shared_exact"
-        ):
-            from ..ops.pallas.block_stream import (
-                SMEM_TASK_CAP,
-                per_query_slots,
-                shared_task_cap,
-            )
-
-            exact = method.endswith("_exact")
-            shared = method.startswith("stream_shared")
+        if dec.program in ("stream", "stream_shared"):
+            shared = dec.program == "stream_shared"
             st = self._stream_table(
-                jnp.float32 if exact else self.stream_dtype
+                jnp.float32 if dec.exact else self.stream_dtype
             )
-            chunk = st.chunk
-            t_fixed = per_query_slots(
-                np.asarray(lay.lengths), n_probe, worst_case=exact,
-                chunk=chunk,
+            chunk, t_fixed, q_tile, t_cap = (
+                dec.chunk, dec.t_fixed, dec.q_tile, dec.t_cap,
             )
-            # Tile queries so the task arrays fit SMEM. The stream kernel's
-            # per-tile fixed costs (pipeline ramp, coarse matmul, select) are
-            # better amortized than the dense paths', so its tile cap is 4x.
-            q_tile = max(
-                8,
-                min(_QUERY_TILE, (SMEM_TASK_CAP // max(t_fixed, 1)) // 8 * 8),
-            )
-            t_cap = 0
-            if shared:
-                # Sharing grows with the tile (more queries probe the same
-                # block), so the shared path tiles up to 1024 queries. The
-                # task-major plane streams to HBM (no VMEM-resident plane
-                # anymore); bound the per-tile plane+qcs transient
-                # (Q_SHARE*(chunk+d)*4 B per task) and keep the prefetch
-                # arrays in SMEM.
-                from ..ops.pallas.block_stream import Q_SHARE
-
-                q_tile = max(8, min(1024, _round_up(nq, 8)))
-                while True:
-                    t_cap = shared_task_cap(
-                        np.asarray(lay.lengths), n_probe, q_tile, t_fixed,
-                        worst_case=exact, chunk=chunk,
-                    )
-                    if q_tile <= 8 or (
-                        t_cap <= SMEM_TASK_CAP
-                        and t_cap * Q_SHARE * (chunk + d) * 4 <= (256 << 20)
-                    ):
-                        break
-                    q_tile = max(8, q_tile // 2)
-            q_tile = min(q_tile, _round_up(nq, 8))
+            if st.chunk != chunk:
+                # The Decision sizes against pick_chunk's deterministic
+                # twin of the built table; a table built under an explicit
+                # chunk override disagrees — re-derive against the REAL
+                # table so the task grid matches its blocks.
+                chunk, t_fixed, q_tile, t_cap = stream_params(
+                    np.asarray(lay.lengths), d,
+                    jnp.dtype(st.dtype).itemsize, nq, n_probe,
+                    exact=dec.exact, shared=shared, chunk=st.chunk,
+                )
             offloaded = getattr(self, "offloaded", False)
             return _ivf_search_stream_program(
                 pad_to(q_tile),
@@ -1618,43 +1438,21 @@ class IvfIndex:
                 n_probe=n_probe,
                 t_fixed=t_fixed,
                 q_tile=q_tile,
-                approx=not exact,
+                approx=not dec.exact,
                 rerank=(st.dtype != jnp.float32) and not offloaded,
                 metric=metric,
                 shared=shared,
                 t_cap=t_cap,
                 interpret=jax.default_backend() == "cpu",
             )
-        if method == "gather_dma":
-            from ..ops.pallas.ivf_gather import (
-                VMEM_SCRATCH_CAP,
-                scratch_bytes,
-            )
-
-            if (
-                d % 128 != 0
-                or scratch_bytes(n_probe, max(1, lay.max_list_len), d)
-                > VMEM_SCRATCH_CAP
-                or self._budget_for(n_probe) > 32768
-            ):
-                # The DMA kernel needs lane-aligned d (Mosaic rejects
-                # dynamic dim-1 slices narrower than the 128-lane
-                # tile), needs (p, max_len, d) f32 of VMEM scratch, and its
-                # packed slots hold at most 32768 candidates (beyond that,
-                # slot clamping would overwrite earlier probes — silent
-                # candidate loss); fall back to the XLA gather in all cases.
-                log.debug("gather_dma guard tripped; using XLA gather")
-                method = "gather"
-        if method == "gather_dma":
+        if dec.program == "gather_dma":
             # Range-DMA Pallas kernel: one contiguous HBM->VMEM DMA per
             # probed posting list (the hardware analogue of the reference's
             # io_uring cluster-block reads, shards.rs:255-272). Wins over the
             # XLA row-gather at moderate batch; experimental default-off.
             from ..ops.pallas.ivf_gather import ivf_gather_distances
 
-            centroids, c_sq = self._device_tables()
             qdev = pad_to(8)
-            budget = min(self._budget_for(n_probe), 32768)
             dcoarse = (
                 sq_norms(qdev)[:, None]
                 - 2.0 * jnp.dot(qdev, centroids.T,
@@ -1667,7 +1465,7 @@ class IvfIndex:
             lens = lay.lengths[probe]
             dist, rows = ivf_gather_distances(
                 qdev, lay.vectors, starts, lens,
-                max_len=max(1, lay.max_list_len), budget=budget,
+                max_len=max(1, lay.max_list_len), budget=dec.budget,
                 metric=metric,
                 interpret=jax.default_backend() == "cpu",
             )
@@ -1675,18 +1473,9 @@ class IvfIndex:
             rsel = jnp.take_along_axis(rows, jnp.maximum(ci, 0), axis=1)
             rsel = jnp.where((ci >= 0) & jnp.isfinite(dvals), rsel, -1)
             return dvals, rsel
-        if method == "staged":
-            raise RuntimeError(
-                "method='staged' requires a host-resident index (load with "
-                "resident='host' or call to_host_resident())"
-            )
-        if method != "gather":
-            raise ValueError(f"unknown search method: {method}")
-
-        budget = self._budget_for(n_probe)
-        q_tile = pick_q_tile(nq, budget, d)
+        # dec.program == 'gather' (resolve raised on unknown/'staged').
         return _ivf_search_program(
-            pad_to(q_tile),
+            pad_to(dec.q_tile),
             centroids,
             c_sq,
             lay.vectors,
@@ -1695,8 +1484,8 @@ class IvfIndex:
             lay.lengths,
             k=k,
             n_probe=n_probe,
-            budget=budget,
-            q_tile=q_tile,
+            budget=dec.budget,
+            q_tile=dec.q_tile,
             metric=metric,
         )
 

@@ -708,6 +708,50 @@ def _block_stream_fused_call(
     return dist_plane[:, 0], slot_plane[:, 0]
 
 
+def build_task_grid(queries, table: StreamTable, probe, t_fixed: int, metric: str):
+    """Per-query task grid for the stream kernels: slot s of a query is
+    chunk c of its probe j, nearest probes first. Unrolled over p with
+    (nq, t_fixed) lanes (searchsorted forms serialize on TPU). Returns
+    (blk2d, cid2d, nval2d, qc_all, bias2d): block/cluster/valid-lane grids
+    plus the precomputed query-side rows (q - c for l2, q for ip) and the
+    lane-constant bias (|q-c|^2 / -q.c) — so the kernel needs no per-task
+    query/centroid fetches (the gather source is the small centroid table;
+    ~8 KB of sequential qvec per grid step). Shared by both stream kernels
+    and the overhead-decomposition bench (scripts/decompose_stream.py)."""
+    nq, d = queries.shape
+    p = probe.shape[1]
+    CHUNK = table.chunk
+
+    sblk0 = table.sblk0[probe]  # (nq, p) start blocks
+    lens = table.lengths[probe]
+    nchunks = -(-lens // CHUNK)
+
+    cum = jnp.cumsum(nchunks, axis=1)
+    cum_prev = cum - nchunks
+    s = jnp.arange(t_fixed, dtype=jnp.int32)[None, :]
+    blk2d = jnp.zeros((nq, t_fixed), jnp.int32)
+    cid2d = jnp.zeros((nq, t_fixed), jnp.int32)
+    nval2d = jnp.zeros((nq, t_fixed), jnp.int32)
+    for j in range(p):
+        inseg = (s >= cum_prev[:, j : j + 1]) & (s < cum[:, j : j + 1])
+        c = s - cum_prev[:, j : j + 1]
+        blk2d = jnp.where(inseg, sblk0[:, j : j + 1] + c, blk2d)
+        cid2d = jnp.where(inseg, probe[:, j : j + 1], cid2d)
+        nval2d = jnp.where(
+            inseg, jnp.minimum(CHUNK, lens[:, j : j + 1] - c * CHUNK), nval2d
+        )
+
+    if metric == "l2":
+        qc_all = queries[:, None, :] - table.cent[cid2d]  # (nq, t_fixed, d)
+        bias2d = jnp.sum(qc_all * qc_all, axis=-1)
+    else:
+        qc_all = jnp.broadcast_to(
+            queries[:, None, :], (nq, t_fixed, d)
+        )
+        bias2d = -jnp.sum(queries[:, None, :] * table.cent[cid2d], axis=-1)
+    return blk2d, cid2d, nval2d, qc_all, bias2d
+
+
 def block_stream_search(
     queries,  # (nq, d) f32 (pre-normalized for cosine)
     table: StreamTable,
@@ -735,31 +779,12 @@ def block_stream_search(
     top-2-per-lane tail loss at k=100 over >=1024 lanes is ~0.5% before
     the exact re-rank (flat_sweep math, see pick_stream_groups)."""
     nq, d = queries.shape
-    p = probe.shape[1]
     t_sub = t_fixed // FAN  # slots per fan (t_fixed % FAN == 0)
     CHUNK = table.chunk  # per-table block rows (see pick_chunk)
 
-    sblk0 = table.sblk0[probe]  # (nq, p) start blocks
-    lens = table.lengths[probe]
-    nchunks = -(-lens // CHUNK)
-
-    # Per-query task grid (nq, t_fixed): slot s of a query is chunk c of its
-    # probe j, nearest probes first. Unrolled over p with (nq, t_fixed)
-    # lanes (searchsorted forms serialize on TPU).
-    cum = jnp.cumsum(nchunks, axis=1)
-    cum_prev = cum - nchunks
-    s = jnp.arange(t_fixed, dtype=jnp.int32)[None, :]
-    blk2d = jnp.zeros((nq, t_fixed), jnp.int32)
-    cid2d = jnp.zeros((nq, t_fixed), jnp.int32)
-    nval2d = jnp.zeros((nq, t_fixed), jnp.int32)
-    for j in range(p):
-        inseg = (s >= cum_prev[:, j : j + 1]) & (s < cum[:, j : j + 1])
-        c = s - cum_prev[:, j : j + 1]
-        blk2d = jnp.where(inseg, sblk0[:, j : j + 1] + c, blk2d)
-        cid2d = jnp.where(inseg, probe[:, j : j + 1], cid2d)
-        nval2d = jnp.where(
-            inseg, jnp.minimum(CHUNK, lens[:, j : j + 1] - c * CHUNK), nval2d
-        )
+    blk2d, cid2d, nval2d, qc_all, bias2d = build_task_grid(
+        queries, table, probe, t_fixed, metric
+    )
 
     # Static packing: fan f owns slots [f*t_sub, (f+1)*t_sub); its step t
     # serves (query t % nq, local slot t // nq). blk/scale/bias arrays are
@@ -782,18 +807,6 @@ def block_stream_search(
             ],
             axis=1,
         )
-
-    # Query-side rows + bias, precomputed per (query, slot) pair so the
-    # kernel needs no per-task query/centroid fetches (the gather source is
-    # the small centroid table; ~8 KB of sequential qvec per grid step).
-    if metric == "l2":
-        qc_all = queries[:, None, :] - table.cent[cid2d]  # (nq, t_fixed, d)
-        bias2d = jnp.sum(qc_all * qc_all, axis=-1)
-    else:
-        qc_all = jnp.broadcast_to(
-            queries[:, None, :], (nq, t_fixed, d)
-        )
-        bias2d = -jnp.sum(queries[:, None, :] * table.cent[cid2d], axis=-1)
 
     G = pick_stream_groups(CHUNK)
     if fused is None:
