@@ -231,6 +231,36 @@ def main():
             tiles = queries.reshape(nq // q_tile, q_tile, d)
             return jax.lax.map(lambda qt: tile_fused(qt, sta, tabs), tiles)
 
+        # Hoisted-re-rank variant (the round-5 production structure,
+        # ivf.py::_ivf_search_stream_program): the sweep tiles return the
+        # kk-wide shortlist and ONE full-batch exact re-rank runs outside
+        # the tile loop. Same-window A/B against P4 (per-tile re-rank).
+        def tile_rows(qt, sta, tabs):
+            centroids, c_sq, _, _ = tabs
+            q_sq = sq_norms(qt)
+            dc = _score(qt, centroids, c_sq, q_sq, "l2")
+            _, probe = (
+                jax.lax.approx_min_k(dc, n_probe, recall_target=0.99)
+                if kc > 1024 else jax.lax.top_k(-dc, n_probe)
+            )
+            _, rows = block_stream_search(
+                qt, sta, probe, kk, t_fixed=t_fixed, metric=metric,
+                approx=True, fused=False,
+            )
+            return rows
+
+        @jax.jit
+        def prog_hoisted(queries, sta, tabs):
+            _, _, main_vecs, row_norms = tabs
+            tiles = queries.reshape(nq // q_tile, q_tile, d)
+            rows = jax.lax.map(
+                lambda qt: tile_rows(qt, sta, tabs), tiles
+            ).reshape(nq, kk)
+            return _exact_rerank(
+                queries, sq_norms(queries), rows, main_vecs, row_norms,
+                k, metric,
+            )[0]
+
         mt = args.min_time
         tabs = (centroids, c_sq, lay.vectors, lay.row_norms)
         t_stage = {}
@@ -243,6 +273,36 @@ def main():
             )
         t_stage["P4f_fused_full"] = timeit(
             lambda: prog_fused(qdev, st, tabs), mt
+        )
+        t_stage["P5_hoisted_full"] = timeit(
+            lambda: prog_hoisted(qdev, st, tabs), mt
+        )
+
+        # Two-dispatch split: the sweep program returns the (nq, kk)
+        # shortlist rows and a SEPARATE jitted re-rank program consumes
+        # them — queued back-to-back by async dispatch (no host sync
+        # between). Measures whether the single fused program's in-graph
+        # re-rank cost (P5 - P3 ~ 7 us/q vs ~3 standalone) is an XLA
+        # scheduling artifact the program boundary removes.
+        @jax.jit
+        def prog_rows(queries, sta, tabs):
+            tiles = queries.reshape(nq // q_tile, q_tile, d)
+            return jax.lax.map(
+                lambda qt: tile_rows(qt, sta, tabs), tiles
+            ).reshape(nq, kk)
+
+        @jax.jit
+        def prog_rr(queries, rows, main_vecs, row_norms):
+            return _exact_rerank(
+                queries, sq_norms(queries), rows, main_vecs, row_norms,
+                k, metric,
+            )[0]
+
+        t_stage["P6_twodispatch"] = timeit(
+            lambda: prog_rr(
+                qdev, prog_rows(qdev, st, tabs), lay.vectors, lay.row_norms
+            ),
+            mt,
         )
 
         # Rerank micro-split at the same shapes: gather vs einsum vs
@@ -355,8 +415,9 @@ def main():
             "variants timed in one window.\n\n"
         )
         f.write("| dtype | nprobe | rows/q | byte-floor | coarse | taskgrid | "
-                "kernel | select | rerank | full | fused-full |\n")
-        f.write("|---" * 11 + "|\n")
+                "kernel | select | rerank | full | fused-full | "
+                "hoisted-full |\n")
+        f.write("|---" * 12 + "|\n")
         for r in rows_out:
             m = r["marginal_us"]
             f.write(
@@ -365,7 +426,8 @@ def main():
                 f"{m['taskgrid']:.2f} | {m['kernel']:.2f} | "
                 f"{m['select']:.2f} | {m['rerank']:.2f} | "
                 f"{r['us_per_q']['P4_rerank_full']:.2f} | "
-                f"{r['us_per_q']['P4f_fused_full']:.2f} |\n"
+                f"{r['us_per_q']['P4f_fused_full']:.2f} | "
+                f"{r['us_per_q']['P5_hoisted_full']:.2f} |\n"
             )
         f.write("\nRerank micro-split (standalone dispatches — include "
                 "~1-2 us/q fixed dispatch cost):\n\n")

@@ -65,6 +65,16 @@ from .dispatch import (  # noqa: F401  (re-exports)
 )
 
 
+# Exact-re-rank placement in the stream program: hoisted OUT of the
+# per-q_tile sweep loop to ~4096-query super-tiles. The round-5
+# decomposition (bench_results/stream_overhead) measured the per-tile
+# re-rank at 8.5-10.1 us/q — 65% of the stream path's total — vs ~4 us/q
+# for the same shapes at full batch (the kk-row random gather and batched
+# GEMV amortize with depth). VITPU_HOISTED_RERANK=0 restores the per-tile
+# placement for A/B.
+_HOISTED_RERANK = os.environ.get("VITPU_HOISTED_RERANK", "1") == "1"
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -301,6 +311,21 @@ def _ivf_search_stream_program(
 
     nq_pad, d = queries.shape
 
+    # Low-precision selection keeps a widened shortlist for the exact
+    # re-rank, absorbing bf16 ordering noise near the k-th boundary.
+    # The floor of 64 covers small k: residual-bf16 distance error is
+    # proportional to CLUSTER SPREAD (|q-c|*0.4%*|r|), so corpora whose
+    # k-means leaves high-spread (whale) clusters can distort individual
+    # distances by whole units — a 2k shortlist at k=5 then drops real
+    # neighbors. int8 tables quantize at ~s_c/2 per component and widen
+    # further. stream_exact remains the exactness escape hatch.
+    wide = 4 if stream_table.dtype == jnp.int8 else 2
+    kk = (
+        min(max(wide * k, 64 * (wide // 2)), t_fixed * stream_table.chunk)
+        if rerank
+        else k
+    )
+
     def one_tile(qt):
         q_sq = sq_norms(qt)
         # ALWAYS L2 cell probing (assignment-consistent; see gather path).
@@ -313,20 +338,6 @@ def _ivf_search_stream_program(
         else:
             _, probe = jax.lax.top_k(-dcoarse, n_probe)  # (q_tile, n_probe)
 
-        # Low-precision selection keeps a widened shortlist for the exact
-        # re-rank, absorbing bf16 ordering noise near the k-th boundary.
-        # The floor of 64 covers small k: residual-bf16 distance error is
-        # proportional to CLUSTER SPREAD (|q-c|*0.4%*|r|), so corpora whose
-        # k-means leaves high-spread (whale) clusters can distort individual
-        # distances by whole units — a 2k shortlist at k=5 then drops real
-        # neighbors. int8 tables quantize at ~s_c/2 per component and widen
-        # further. stream_exact remains the exactness escape hatch.
-        wide = 4 if stream_table.dtype == jnp.int8 else 2
-        kk = (
-            min(max(wide * k, 64 * (wide // 2)), t_fixed * stream_table.chunk)
-            if rerank
-            else k
-        )
         if shared:
             dvals, rows = block_stream_search_shared(
                 qt, stream_table, probe, kk,
@@ -339,17 +350,60 @@ def _ivf_search_stream_program(
                 t_fixed=t_fixed, metric=metric, approx=approx,
                 interpret=interpret,
             )
-        if rerank:
-            # Exact f32 re-rank of the shortlist (selection ran on the
-            # stream table's dtype; distances recomputed from the main f32
-            # table — a (q_tile*2k)-row gather, tiny next to the sweep).
-            dvals, rows = _exact_rerank(
-                qt, q_sq, rows, main_vectors, main_row_norms, k, metric
-            )
         return dvals, rows
 
     tiles = queries.reshape(nq_pad // q_tile, q_tile, d)
     dvals, rows = jax.lax.map(one_tile, tiles)
+    dvals = dvals.reshape(nq_pad, kk)
+    rows = rows.reshape(nq_pad, kk)
+    if not rerank:
+        return dvals, rows
+    if not _HOISTED_RERANK:  # A/B baseline: per-sweep-tile re-rank
+        def rr_small(args):
+            qt, rws = args
+            return _exact_rerank(
+                qt, sq_norms(qt), rws, main_vectors, main_row_norms, k,
+                metric,
+            )
+
+        dv, rw = jax.lax.map(
+            rr_small,
+            (tiles, rows.reshape(nq_pad // q_tile, q_tile, kk)),
+        )
+        return dv.reshape(nq_pad, k), rw.reshape(nq_pad, k)
+    # Exact f32 re-rank of the shortlist (selection ran on the stream
+    # table's dtype; distances recomputed from the main f32 table),
+    # OUTSIDE the sweep's tile loop: the (kk)-row random gather + batched
+    # GEMV amortize with batch depth, and running them per 256-query tile
+    # measured 8.5 us/q vs ~3 at full batch — the dominant term of the
+    # round-4 headline's 11 us/q non-sweep overhead
+    # (bench_results/stream_overhead, round-4 task 2). Super-tiles bound
+    # the gathered candidate block to ~4096 queries (~400 MB at kk=200)
+    # so huge batches can't blow HBM.
+    g = max(1, 4096 // q_tile)
+    n_tiles = nq_pad // q_tile
+    while n_tiles % g:
+        g -= 1
+    rt = g * q_tile
+    if rt == nq_pad:
+        return _exact_rerank(
+            queries, sq_norms(queries), rows, main_vectors,
+            main_row_norms, k, metric,
+        )
+
+    def rr_tile(args):
+        qt, rws = args
+        return _exact_rerank(
+            qt, sq_norms(qt), rws, main_vectors, main_row_norms, k, metric
+        )
+
+    dvals, rows = jax.lax.map(
+        rr_tile,
+        (
+            queries.reshape(nq_pad // rt, rt, d),
+            rows.reshape(nq_pad // rt, rt, kk),
+        ),
+    )
     return dvals.reshape(nq_pad, k), rows.reshape(nq_pad, k)
 
 
