@@ -81,7 +81,10 @@ def main() -> None:
     store = VectorStore(
         external_ids=np.arange(args.n, dtype=np.uint64), vectors=xb
     )
-    idx = IvfIndex.fit(store, seed=42)
+    # Sampled training (faiss Clustering-style): ~158 pts/centroid at the
+    # 10M heuristic nlist keeps centroid quality while cutting the 10M
+    # training sweeps 5x — the unsampled 10M Lloyd faulted the TPU worker.
+    idx = IvfIndex.fit(store, seed=42, train_sample=2_000_000)
     t_build = time.perf_counter() - t0
     nlist = idx.num_clusters
     print(f"# build {t_build:.1f}s nlist={nlist}", file=sys.stderr, flush=True)

@@ -210,3 +210,48 @@ def test_fast_iters_quality_parity(rng):
     i_fast = compute_inertia(data, fast.centroids, fast.labels)
     i_exact = compute_inertia(data, exact.centroids, exact.labels)
     assert i_fast <= i_exact * 1.05
+
+
+def test_sampled_lloyd_quality_and_full_labels(rng):
+    from vector_indexer_tpu.models import run_kmeans_lloyd_sampled
+
+    data, _, _ = make_gaussian_clusters(8, 400, 16, spread=0.1,
+                                        separation=15.0)
+    res = run_kmeans_lloyd_sampled(data, k=8, max_iters=25,
+                                   train_sample=800, seed=11)
+    assert res.labels.shape == (len(data),)
+    # Full-corpus labels are exact nearest-centroid even though training
+    # saw only a quarter of the points.
+    _verify_optimal_assignment(data, res.centroids, res.labels)
+    # Well-separated blobs: sampled training still recovers every blob.
+    inertia = compute_inertia(data, res.centroids, res.labels)
+    assert inertia / len(data) < 1.0
+    # Deterministic: same seed -> identical centroids and labels.
+    res2 = run_kmeans_lloyd_sampled(data, k=8, max_iters=25,
+                                    train_sample=800, seed=11)
+    np.testing.assert_array_equal(np.asarray(res.labels),
+                                  np.asarray(res2.labels))
+    # sample >= n falls through to the unsampled trainer.
+    full = run_kmeans_lloyd_sampled(data, k=8, max_iters=25,
+                                    train_sample=10**9, seed=11)
+    ref = run_kmeans_lloyd(data, k=8, max_iters=25, seed=11)
+    np.testing.assert_array_equal(np.asarray(full.labels),
+                                  np.asarray(ref.labels))
+    with pytest.raises(ValueError):
+        run_kmeans_lloyd_sampled(data, k=8, max_iters=5, train_sample=4)
+
+
+def test_fit_train_sample_guardrails(rng):
+    from vector_indexer_tpu.index import IvfIndex
+    from vector_indexer_tpu.storage import VectorStore
+
+    data, _, _ = make_gaussian_clusters(6, 300, 16, spread=0.1,
+                                        separation=12.0)
+    store = VectorStore(
+        external_ids=np.arange(len(data), dtype=np.uint64), vectors=data
+    )
+    idx = IvfIndex.fit(store, seed=3, train_sample=600)
+    D, I = idx.search_batch(data[:32], 1, idx.num_clusters)
+    assert (I[:, 0] == np.arange(32)).mean() > 0.95  # self-hit
+    with pytest.raises(ValueError):
+        IvfIndex.fit(store, seed=3, trainer="mini_batch", train_sample=600)

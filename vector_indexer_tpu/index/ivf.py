@@ -745,6 +745,7 @@ class IvfIndex:
         spill: int = 0,
         spill_lambda: float = 1.0,
         balance: float = 1.0,
+        train_sample: Optional[int] = None,
     ) -> "IvfIndex":
         n = len(store)
         if n == 0:
@@ -775,6 +776,11 @@ class IvfIndex:
         # DP final assignment (the TPU analogue of the reference training its
         # whole build under rayon, kmeans.rs:15-150). Single-device build is
         # the mesh=None degenerate case.
+        if train_sample is not None and (trainer != "lloyd" or mesh is not None):
+            raise ValueError(
+                "train_sample is a full-batch Lloyd option (mini_batch is "
+                "already subsampled; balanced/DP sweeps need every point)"
+            )
         with trace("fit.kmeans", n=n, k=k, mesh=(mesh is not None)):
             if mesh is not None:
                 if trainer != "lloyd":
@@ -794,10 +800,22 @@ class IvfIndex:
                 # build share the same device array (host packing +
                 # re-upload of the (n, d) payload measured ~178 s of build
                 # wall-clock at n=1M over this environment's tunnel).
+                # ``train_sample`` caps the TRAINING sweep at a seeded
+                # subsample (faiss Clustering-style, 256*k-ish); the final
+                # full-corpus assignment stays exact.
                 data = jnp.asarray(data)
-                kres = run_kmeans_lloyd(
-                    data, k, iters, seed=seed, spherical=(metric == "cosine")
-                )
+                if train_sample is not None and train_sample < n:
+                    from ..models.kmeans import run_kmeans_lloyd_sampled
+
+                    kres = run_kmeans_lloyd_sampled(
+                        data, k, iters, train_sample, seed=seed,
+                        spherical=(metric == "cosine"),
+                    )
+                else:
+                    kres = run_kmeans_lloyd(
+                        data, k, iters, seed=seed,
+                        spherical=(metric == "cosine"),
+                    )
             elif trainer == "balanced":
                 # Capacity-penalized Lloyd: bounds posting-list skew by
                 # construction (``balance`` scales the occupancy penalty)

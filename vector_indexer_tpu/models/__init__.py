@@ -12,6 +12,7 @@ from .kmeans import (
     kmeans_plus_plus_init,
     run_kmeans_balanced,
     run_kmeans_lloyd,
+    run_kmeans_lloyd_sampled,
     run_kmeans_mini_batch,
     assign_points,
     assign_points_hierarchical,
@@ -23,6 +24,7 @@ __all__ = [
     "kmeans_plus_plus_init",
     "run_kmeans_balanced",
     "run_kmeans_lloyd",
+    "run_kmeans_lloyd_sampled",
     "run_kmeans_mini_batch",
     "assign_points",
     "assign_points_hierarchical",

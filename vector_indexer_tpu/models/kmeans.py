@@ -435,6 +435,48 @@ def run_kmeans_lloyd(
     return KMeansResult(centroids, labels, int(iters), bool(converged))
 
 
+def run_kmeans_lloyd_sampled(
+    data,
+    k: int,
+    max_iters: int,
+    train_sample: int,
+    seed: int = 42,
+    chunk: int = _ASSIGN_CHUNK,
+    spherical: bool = False,
+) -> KMeansResult:
+    """Lloyd trained on a seeded subsample; labels assigned to ALL points.
+
+    faiss-style capacity split (bench_all_ivf.py caps training at
+    max_train_points; faiss Clustering subsamples to 256*k): past
+    ~O(100) points per centroid, extra training data moves centroids
+    negligibly while multiplying every training sweep by n/sample. The
+    subsample is drawn without replacement from a generator seeded by
+    ``seed`` (deterministic, order-independent); the final full-corpus
+    assignment is exact and identical in cost to the unsampled path's
+    last step.
+    """
+    data = _check_data(data)
+    n = data.shape[0]
+    if train_sample >= n:
+        return run_kmeans_lloyd(
+            data, k, max_iters, seed=seed, chunk=chunk, spherical=spherical
+        )
+    if train_sample < k:
+        raise ValueError(
+            f"train_sample={train_sample} must be >= k={k} centroids"
+        )
+    rng = np.random.default_rng(np.uint64(seed) ^ np.uint64(0x5A3B1E))
+    sel = np.sort(rng.choice(n, size=train_sample, replace=False))
+    sub = jnp.take(jnp.asarray(data), jnp.asarray(sel), axis=0)
+    res = run_kmeans_lloyd(
+        sub, k, max_iters, seed=seed, chunk=chunk, spherical=spherical
+    )
+    labels, _ = assign_points(data, res.centroids, chunk=chunk)
+    return KMeansResult(
+        res.centroids, labels, res.iterations, res.converged
+    )
+
+
 # ---------------------------------------------------------------------------
 # Balanced Lloyd (capacity-penalized assignment)
 # ---------------------------------------------------------------------------
