@@ -282,3 +282,26 @@ def test_stream_bf16_whale_cluster_shortlist():
         De, Ie = idx.search_batch(data[:8], 5, 8, method="gather")
         for a, b in zip(I, Ie):
             assert set(a.tolist()) == set(b.tolist()), method
+
+
+def test_stream_rerank_placement_parity(built):
+    """Hoisted (super-tile) vs per-tile exact re-rank return identical
+    result sets and distances: the placement is a scheduling choice, not
+    a semantic one (round-5; VITPU_HOISTED_RERANK)."""
+    import vector_indexer_tpu.index.ivf as ivfmod
+
+    idx, data = built
+    q = data[:64] + 0.05
+    orig = ivfmod._HOISTED_RERANK
+    try:
+        ivfmod._HOISTED_RERANK = True
+        ivfmod._ivf_search_stream_program.clear_cache()
+        Dh, Ih = _run(idx, q, "stream")
+        ivfmod._HOISTED_RERANK = False
+        ivfmod._ivf_search_stream_program.clear_cache()
+        Dp, Ip = _run(idx, q, "stream")
+    finally:
+        ivfmod._HOISTED_RERANK = orig
+        ivfmod._ivf_search_stream_program.clear_cache()
+    np.testing.assert_array_equal(Ih, Ip)
+    np.testing.assert_allclose(Dh, Dp, rtol=1e-6, atol=1e-5)
