@@ -124,10 +124,11 @@ def test_fused_padding_contract(built):
 
 def test_fused_through_search_batch(built, monkeypatch):
     """VITPU_FUSED_STREAM=1 forces the fused path through the public
-    method='stream' program; result sets match method='gather' exactly
-    after the exact f32 re-rank."""
+    method='stream' program; with the exact f32 re-rank forced on
+    (VITPU_STREAM_RERANK=1) result sets match method='gather' exactly."""
     store, data = built
     monkeypatch.setenv("VITPU_FUSED_STREAM", "1")
+    monkeypatch.setenv("VITPU_STREAM_RERANK", "1")
     idx = IvfIndex.fit(store, seed=42)
     q = data[:16] + 0.01
     Dg, Ig = idx.search_batch(q, k=10, n_probe=4, method="gather")
@@ -135,6 +136,56 @@ def test_fused_through_search_batch(built, monkeypatch):
     for a, b in zip(Ig, Is):
         assert set(a.tolist()) == set(b.tolist())
     np.testing.assert_allclose(Dg, Ds, rtol=1e-4, atol=1e-4)
+
+
+def test_stream_norerank_default_quantized_exact(built, monkeypatch):
+    """The bf16 stream DEFAULT (two-pass cross, no re-rank —
+    bench_results/stream_overhead: the re-rank was 65% of the path) returns
+    the EXACT f32 distance to the quantized point c + r-hat: vs the exact
+    path the distance error is bounded by 2|q-x||r - r-hat| + |r - r-hat|^2
+    (~0.2%-of-residual scale), result sets stay >=0.9 intersected, and a
+    corpus vector queried against itself keeps distance ~0 (the old
+    |q-c|-scale single-pass error broke exactly this)."""
+    monkeypatch.delenv("VITPU_STREAM_RERANK", raising=False)
+    store, data = built
+    idx = IvfIndex.fit(store, seed=42)
+    q = data[:16] + 0.01
+    Dg, Ig = idx.search_batch(q, k=10, n_probe=4, method="gather")
+    Ds, Is = idx.search_batch(q, k=10, n_probe=4, method="stream")
+    inter = np.mean(
+        [
+            len(set(a[a >= 0].tolist()) & set(b[b >= 0].tolist())) / 10
+            for a, b in zip(Ig, Is)
+        ]
+    )
+    assert inter >= 0.9
+    # Distances of the COMMON results agree to quantization error.
+    for dg, ig, ds, is_ in zip(Dg, Ig, Ds, Is):
+        pos = {int(r): j for j, r in enumerate(is_)}
+        for j, r in enumerate(ig):
+            if int(r) in pos:
+                assert abs(dg[j] - ds[pos[int(r)]]) <= 1e-2 + 0.01 * dg[j]
+    # Self-queries: distance to itself stays ~0 (and never negative).
+    Dself, Iself = idx.search_batch(data[:8], k=1, n_probe=4, method="stream")
+    assert (Dself >= 0).all()
+    assert float(Dself.max()) <= 1e-2
+    # Same contract under ip: scores are exact -q.x-hat (two-pass cross),
+    # so result sets track the exact path without a re-rank.
+    from vector_indexer_tpu.storage import VectorStore
+
+    store_ip = VectorStore(
+        external_ids=np.arange(len(data), dtype=np.uint64), vectors=data
+    )
+    m = IvfIndex.fit(store_ip, seed=1, metric="ip")
+    Dgi, Igi = m.search_batch(q, k=10, n_probe=4, method="gather")
+    Dsi, Isi = m.search_batch(q, k=10, n_probe=4, method="stream")
+    inter_ip = np.mean(
+        [
+            len(set(a[a >= 0].tolist()) & set(b[b >= 0].tolist())) / 10
+            for a, b in zip(Igi, Isi)
+        ]
+    )
+    assert inter_ip >= 0.9
 
 
 def test_pick_stream_groups():

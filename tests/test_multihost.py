@@ -88,10 +88,14 @@ def test_multihost_spilled_index_dedups():
     assert (I[:, 0] == np.arange(24)).all()
 
 
-def test_multihost_stream_body_matches_dense(built):
+def test_multihost_stream_body_matches_dense(built, monkeypatch):
     """The block-stream body under the hierarchical merge returns the same
     result sets as the masked-dense body (bf16 residual sweep + exact f32
-    re-rank -> identical ids, near-identical distances)."""
+    re-rank -> identical ids, near-identical distances). The re-rank is
+    forced on: the no-re-rank default returns exact-to-quantized-point
+    distances (covered by test_fused_stream's default-contract test) whose
+    near-boundary order can differ by one id."""
+    monkeypatch.setenv("VITPU_STREAM_RERANK", "1")
     idx, data = built
     mesh = make_mesh_hosts(2, 4)
     mh_dense = MultiHostSearcher(idx, mesh, method="dense")

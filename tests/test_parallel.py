@@ -74,10 +74,13 @@ def test_sharded_errors(built):
 
 
 @pytest.mark.parametrize("n_dev", [2, 8])
-def test_sharded_stream_body_matches_dense(built, n_dev):
+def test_sharded_stream_body_matches_dense(built, n_dev, monkeypatch):
     """The block-stream Pallas body under shard_map must return the same
     result sets as the masked-dense body (bf16 residual sweep + exact f32
-    re-rank -> identical ids, near-identical distances)."""
+    re-rank -> identical ids, near-identical distances). Re-rank forced
+    on; the no-re-rank default's contract is covered in
+    test_fused_stream.py."""
+    monkeypatch.setenv("VITPU_STREAM_RERANK", "1")
     idx, data = built
     mesh = make_shard_mesh(n_dev)
     s_dense = ShardedSearcher(idx, mesh, method="dense")
@@ -140,11 +143,12 @@ def test_sharded_dense_fused_body_matches_dense():
                 )
 
 
-def test_2d_stream_body_matches_dense(built):
+def test_2d_stream_body_matches_dense(built, monkeypatch):
     """The block-stream body on the 2-D mesh (queries x shards) returns
-    the same result sets as the 2-D dense body."""
+    the same result sets as the 2-D dense body (re-rank forced on)."""
     from vector_indexer_tpu.parallel import Sharded2DSearcher, make_mesh_2d
 
+    monkeypatch.setenv("VITPU_STREAM_RERANK", "1")
     idx, data = built
     mesh = make_mesh_2d(2, 4)
     s_dense = Sharded2DSearcher(idx, mesh, method="dense")

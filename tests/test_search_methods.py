@@ -84,9 +84,11 @@ def test_stream_exact_matches_gather(built):
     np.testing.assert_allclose(np.sort(Dg, 1), np.sort(Ds, 1), rtol=1e-3, atol=1e-3)
 
 
-def test_stream_bf16_residual_recall(built):
-    # bf16 residual sweep + exact f32 re-rank: ids match the exact path and
-    # the returned distances are the exact f32 re-ranked ones.
+def test_stream_bf16_residual_recall(built, monkeypatch):
+    # bf16 residual sweep + exact f32 re-rank FORCED ON: ids match the
+    # exact path and distances are the re-ranked ones. (The no-re-rank
+    # default's quantized-exact contract: test_fused_stream.py.)
+    monkeypatch.setenv("VITPU_STREAM_RERANK", "1")
     idx, data = built
     q = data[:64] + 0.01
     Dg, Ig = _run(idx, q, "gather")
@@ -113,7 +115,8 @@ def test_stream_truncation_drops_farthest_first(built):
     assert (I[:, 0] == np.arange(16)).all()
 
 
-def test_stream_metrics(built):
+def test_stream_metrics(built, monkeypatch):
+    monkeypatch.setenv("VITPU_STREAM_RERANK", "1")
     idx, data = built
     store = VectorStore(
         external_ids=np.arange(len(data), dtype=np.uint64), vectors=data
@@ -185,8 +188,11 @@ def test_stream_shared_exact_matches_gather(built):
     np.testing.assert_allclose(np.sort(Dg, 1), np.sort(Ds, 1), rtol=1e-3, atol=1e-3)
 
 
-def test_stream_shared_bf16_matches_exact(built):
-    # Shared kernel, bf16 residual table + exact f32 re-rank.
+def test_stream_shared_bf16_matches_exact(built, monkeypatch):
+    # Shared kernel, bf16 residual table + exact f32 re-rank forced on
+    # (the no-re-rank default's looser contract is covered in
+    # test_fused_stream.py).
+    monkeypatch.setenv("VITPU_STREAM_RERANK", "1")
     idx, data = built
     q = data[:48] + 0.01
     Dg, Ig = _run(idx, q, "gather")
@@ -207,7 +213,8 @@ def test_stream_shared_task_drop_graceful(built):
     assert (I[:, 0] == np.arange(32)).all()
 
 
-def test_stream_shared_metrics(built):
+def test_stream_shared_metrics(built, monkeypatch):
+    monkeypatch.setenv("VITPU_STREAM_RERANK", "1")
     idx, data = built
     store = VectorStore(
         external_ids=np.arange(len(data), dtype=np.uint64), vectors=data

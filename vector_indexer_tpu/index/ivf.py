@@ -75,6 +75,30 @@ from .dispatch import (  # noqa: F401  (re-exports)
 _HOISTED_RERANK = os.environ.get("VITPU_HOISTED_RERANK", "1") == "1"
 
 
+def _stream_rerank_wanted(table_dtype) -> bool:
+    """Whether the device stream program should append the exact f32
+    shortlist re-rank for a quantized table. Read at TRACE time (not
+    import) so A/B scripts and tests can toggle per call.
+
+    VITPU_STREAM_RERANK=1 forces the re-rank on; =0 forces it off; unset
+    picks the measured default: OFF for bf16 tables when the two-pass
+    cross term is live (the kernel distance is then the EXACT f32
+    distance to the quantized point c + r-hat — see _bf16_cross /
+    build_stream_table — and the re-rank's 8.6 us/q was 65% of the whole
+    path, bench_results/stream_overhead), ON for int8 tables (+-s_c/2
+    row error is coarse enough that the exact re-rank still decides
+    near-boundary order; int8's value is capacity, not throughput)."""
+    env = os.environ.get("VITPU_STREAM_RERANK")
+    if env is not None:
+        return env == "1"
+    import jax.numpy as jnp
+    from ..ops.pallas.block_stream import _BF16_2PASS
+
+    if jnp.dtype(table_dtype) == jnp.bfloat16 and _BF16_2PASS:
+        return False
+    return True
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -295,9 +319,20 @@ def _ivf_search_stream_program(
 ):
     """Probed-blocks-only search: coarse top-n_probe -> static per-query
     task slots -> block-stream Pallas sweep -> top-k (-> optional exact f32
-    re-rank of a 2k shortlist when the stream table is bf16). Touches only
+    re-rank of a widened shortlist, see ``rerank``). Touches only
     ~n_probe/nlist of the table — the path where IVF probing actually pays
     on TPU (the dense path sweeps everything and masks).
+
+    ``rerank=False`` (the bf16 default since round 5 — _stream_rerank_wanted)
+    returns the kernel's distances directly: with the two-pass cross term
+    and stored-row norms they are the EXACT f32 distance to the table's
+    quantized point c + r-hat, so the error vs the true vector is
+    2(q-x).(x - x-hat) + |x - x-hat|^2 — bounded by the candidate's own
+    distance times ~0.2% of its residual, the same approximate-D family as
+    the fused flat sweep's 3pass default. The exact re-rank stage it
+    replaces measured 8.6-9.8 us/q — 65% of the whole path
+    (bench_results/stream_overhead); stream_exact remains the full-f32
+    escape hatch and VITPU_STREAM_RERANK=1 restores the re-rank.
 
     Queries are tiled so each kernel call's scalar-prefetched task arrays
     (2 x q_tile*t_fixed int32) fit SMEM. ``shared=True`` uses the block-major
@@ -357,6 +392,14 @@ def _ivf_search_stream_program(
     dvals = dvals.reshape(nq_pad, kk)
     rows = rows.reshape(nq_pad, kk)
     if not rerank:
+        if metric == "l2":
+            # Kernel distances are |q - (c + r-hat)|^2 assembled from
+            # exact f32 pieces; f32 rounding of the three-term sum can
+            # leave ~-1e-5 on (near-)self matches — clamp like the exact
+            # re-rank does.
+            dvals = jnp.where(
+                jnp.isfinite(dvals), jnp.maximum(dvals, 0.0), dvals
+            )
         return dvals, rows
     if not _HOISTED_RERANK:  # A/B baseline: per-sweep-tile re-rank
         def rr_small(args):
@@ -746,7 +789,10 @@ class IvfIndex:
         spill_lambda: float = 1.0,
         balance: float = 1.0,
         train_sample: Optional[int] = None,
+        resident: str = "device",
     ) -> "IvfIndex":
+        if resident not in ("device", "host"):
+            raise ValueError("resident must be 'device' or 'host'")
         n = len(store)
         if n == 0:
             raise ValueError("no vectors provided")
@@ -781,6 +827,14 @@ class IvfIndex:
                 "train_sample is a full-batch Lloyd option (mini_batch is "
                 "already subsampled; balanced/DP sweeps need every point)"
             )
+        if resident == "host" and (
+            trainer != "lloyd" or mesh is not None or spill
+        ):
+            raise ValueError(
+                "resident='host' fit supports trainer='lloyd' without mesh "
+                "or spill (the low-HBM build stages only a training sample "
+                "and per-chunk assignment slices)"
+            )
         with trace("fit.kmeans", n=n, k=k, mesh=(mesh is not None)):
             if mesh is not None:
                 if trainer != "lloyd":
@@ -793,6 +847,22 @@ class IvfIndex:
 
                 kres = run_kmeans_lloyd_dp(
                     data, k, iters, mesh=mesh, axis=mesh_axis, seed=seed,
+                    spherical=(metric == "cosine"),
+                )
+            elif trainer == "lloyd" and resident == "host":
+                # Low-HBM build for corpora near/past HBM capacity: ONLY a
+                # seeded training subsample (faiss Clustering-style) and
+                # fixed-size assignment slices are ever staged h2d; the
+                # posting layout packs HOST-side and the index comes out
+                # host-resident (staged serving / offload_from_host /
+                # save_index all read the host mirror). Device peak ~1 GB
+                # vs the device fit's whole-corpus + packed-table ~2.1x
+                # corpus peak, which faulted the shared v5e at n=10M.
+                from ..models.kmeans import run_kmeans_lloyd_host
+
+                kres = run_kmeans_lloyd_host(
+                    data_host, k, iters,
+                    train_sample or min(n, 2_000_000), seed=seed,
                     spherical=(metric == "cosine"),
                 )
             elif trainer == "lloyd":
@@ -908,9 +978,12 @@ class IvfIndex:
         cluster_order = np.argsort(idx.centroids_to_shard, kind="stable")
         with trace("fit.layout", n=n, clusters=len(keep)):
             idx.layout = build_layout(
-                data, new_labels, len(keep), cluster_order,
-                point_ids=point_ids,
+                data_host if resident == "host" else data,
+                new_labels, len(keep), cluster_order,
+                point_ids=point_ids, device_put=resident != "host",
             )
+        if resident == "host":
+            idx.host_resident = True
         return idx
 
     # ------------------------------------------------------------------
@@ -1511,7 +1584,11 @@ class IvfIndex:
                 t_fixed=t_fixed,
                 q_tile=q_tile,
                 approx=not dec.exact,
-                rerank=(st.dtype != jnp.float32) and not offloaded,
+                rerank=(
+                    st.dtype != jnp.float32
+                    and not offloaded
+                    and _stream_rerank_wanted(st.dtype)
+                ),
                 metric=metric,
                 shared=shared,
                 t_cap=t_cap,

@@ -111,6 +111,67 @@ def _int8_cross(qv, x, scl):
     return (c1.astype(jnp.float32) * s1 + c2.astype(jnp.float32) * s2) * scl
 
 
+# bf16 tables: compute the cross term as TWO bf16 MXU passes with the
+# query row split into hi + lo bf16 halves (q = hi + lo to ~16 mantissa
+# bits; bf16 x bf16 products are exact in the f32 accumulator). Together
+# with norms stored for the QUANTIZED residual rows (build_stream_table)
+# this makes the kernel distance the EXACT f32 distance to the table's
+# quantized point c + r-hat — the same exact-to-quantized contract the
+# int8 path has — so the error vs the true vector scales with
+# 2|q-x||r - r-hat| (~0.2% of |r| per component), not with the cluster
+# scale |q-c| the old single-pass cast paid. VITPU_BF16_2PASS=0 restores
+# the single-pass dot.
+_BF16_2PASS = os.environ.get("VITPU_BF16_2PASS", "1") == "1"
+
+
+def _bf16_cross(qv, x):
+    """Cross term qv @ x.T for a bf16 residual block x as a hi/lo query
+    split (see _BF16_2PASS): two DEFAULT-precision MXU passes recover ~16
+    bits of query mantissa at zero extra HBM traffic — the block is
+    already VMEM-resident and the per-task dot is M<=Q_SHARE."""
+    dims = (((1,), (1,)), ((), ()))
+    q_hi = qv.astype(jnp.bfloat16)
+    q_lo = (qv - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    c1 = jax.lax.dot_general(
+        q_hi, x, dims, preferred_element_type=jnp.float32
+    )
+    c2 = jax.lax.dot_general(
+        q_lo, x, dims, preferred_element_type=jnp.float32
+    )
+    return c1 + c2
+
+
+def _cross_term(qv, x, scl_val):
+    """ONE cross-term implementation for all three stream kernel bodies
+    (per-query, fused-selection, shared): qv (M, d) f32 against a
+    VMEM-resident (CHUNK, d) table block x in the table's dtype, f32
+    result. int8 blocks fold the per-task dequant scale ``scl_val`` in."""
+    int8_mode = x.dtype == jnp.int8
+    if int8_mode and _INT8_MXU:
+        return _int8_cross(qv, x, scl_val)
+    if int8_mode:
+        # int8 rows hold r/s_c; compute the cross term on the MXU in bf16
+        # (the int8 HBM read is the bandwidth win) and dequant with the
+        # scalar-prefetched per-cluster scale. Norms are stored for the
+        # DEQUANTIZED rows, so only the cross term needs the scale here.
+        return (
+            jax.lax.dot_general(
+                qv.astype(jnp.bfloat16), x.astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32,
+            )
+            * scl_val
+        )
+    if x.dtype == jnp.bfloat16 and _BF16_2PASS:
+        return _bf16_cross(qv, x)
+    return jax.lax.dot_general(
+        qv.astype(x.dtype), x, (((1,), (1,)), ((), ())),
+        precision=_dot_precision(x.dtype),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def pick_chunk(lengths_np, d: int, itemsize: int) -> int:
     """Per-table task-block row count: the smallest power-of-two block that
     reaches ~128 KB (the measured bandwidth knee — see module constants),
@@ -281,13 +342,21 @@ def build_stream_table(
         # Pad rows carry SENTINEL norms so any distance computed against
         # them is >= 1e29 and can never displace a real candidate — the
         # same invariant the main layout uses; the shared kernel relies on
-        # it instead of a per-lane mask.
+        # it instead of a per-lane mask. Norms are the f32 norms of the
+        # STORED (dtype-cast) rows — like the int8 branch — so
+        # |q-c|^2 - 2(q-c).r-hat + |r-hat|^2 is exactly |q - (c+r-hat)|^2:
+        # with the two-pass bf16 cross (_bf16_cross) the kernel distance
+        # is then exact-to-the-quantized-point, and its error vs the true
+        # vector scales with the candidate's own distance |q-x|, not with
+        # the cluster scale |q-c| the old |r|^2 encoding paid.
         def p_plain(args):
             rt = args[2]
             res = residual_tile(args)
+            stored = res.astype(dtype)
+            deq = stored.astype(jnp.float32)
             return (
-                res.astype(dtype),
-                jnp.where(rt, jnp.sum(res * res, axis=1), 1e30),
+                stored,
+                jnp.where(rt, jnp.sum(deq * deq, axis=1), 1e30),
             )
 
         vecs_t, norms_t = jax.lax.map(p_plain, tiles)
@@ -366,9 +435,13 @@ def build_stream_table_host(
         for lo in range(0, m_pad, R):
             hi = min(lo + R, m_pad)
             res = _residual(lo, hi)
-            out_vecs[lo:hi] = res.astype(np.dtype(dtype))
+            stored = res.astype(np.dtype(dtype))
+            out_vecs[lo:hi] = stored
+            # Norms of the STORED rows (device-builder parity): the kernel
+            # distance is then exact to the quantized point c + r-hat.
+            deq = stored.astype(np.float32)
             out_norms[lo:hi] = np.where(
-                real[lo:hi], (res * res).sum(axis=1), 1e30
+                real[lo:hi], (deq * deq).sum(axis=1), 1e30
             )
 
     return StreamTable(
@@ -458,32 +531,11 @@ def _kernel_factory(d: int, metric: str):
             qv = qv_ref[0, f, :][None, :]  # (1, d) f32: q - c (l2) or q (ip)
             x = x_refs[f][:]  # (CHUNK, d) residual rows, table dtype
             bias = bias_ref[f, t]  # |q-c|^2 (l2) or -q.c (ip), exact f32
-            int8_mode = x.dtype == jnp.int8
-            if int8_mode and _INT8_MXU:
-                # Two-pass int8 MXU cross term (see _int8_cross) — kills
-                # the (CHUNK, d) upcast sweep the old path paid on every
-                # block byte (round-4 verdict weak-item 3) at HIGHER
-                # effective precision than the bf16 dot.
-                cross = _int8_cross(qv, x, scl_ref[f, t])
-            else:
-                if int8_mode:
-                    # int8 rows hold r/s_c; compute the cross term on the
-                    # MXU in bf16 (the int8 HBM read is the bandwidth win)
-                    # and dequant with the scalar-prefetched per-cluster
-                    # scale. Norms are stored for the DEQUANTIZED rows, so
-                    # only the cross term needs the scale here.
-                    x = x.astype(jnp.bfloat16)
-                prec = _dot_precision(x.dtype)
-                # |q-x|^2 = |q-c|^2 - 2 (q-c).res + |res|^2 for l2 — the
-                # large terms are exact f32; only the small cross term sees
-                # the table dtype. ip: -q.x = -q.c - q.res.
-                cross = jax.lax.dot_general(
-                    qv.astype(x.dtype), x, (((1,), (1,)), ((), ())),
-                    precision=prec,
-                    preferred_element_type=jnp.float32,
-                )  # (1, CHUNK)
-                if int8_mode:
-                    cross = cross * scl_ref[f, t]
+            # |q-x|^2 = |q-c|^2 - 2 (q-c).res + |res|^2 for l2 — the
+            # large terms are exact f32; only the small cross term sees
+            # the table dtype (_cross_term: two-pass int8 / two-pass bf16
+            # / f32-HIGHEST). ip: -q.x = -q.c - q.res.
+            cross = _cross_term(qv, x, scl_ref[f, t])  # (1, CHUNK)
             if metric == "l2":
                 dist = bias - 2.0 * cross + n_refs[f][0]
             else:
@@ -628,20 +680,7 @@ def _fused_kernel_factory(d: int, metric: str, t_sub: int, G: int, chunk: int):
             qv = qv_ref[0, f, :][None, :]  # (1, d) f32: q - c (l2) or q (ip)
             x = x_refs[f][:]  # (CHUNK, d) residual rows, table dtype
             bias = bias_ref[f, t]
-            int8_mode = x.dtype == jnp.int8
-            if int8_mode and _INT8_MXU:
-                cross = _int8_cross(qv, x, scl_ref[f, t])
-            else:
-                if int8_mode:
-                    x = x.astype(jnp.bfloat16)
-                prec = _dot_precision(x.dtype)
-                cross = jax.lax.dot_general(
-                    qv.astype(x.dtype), x, (((1,), (1,)), ((), ())),
-                    precision=prec,
-                    preferred_element_type=jnp.float32,
-                )  # (1, CHUNK)
-                if int8_mode:
-                    cross = cross * scl_ref[f, t]
+            cross = _cross_term(qv, x, scl_ref[f, t])  # (1, CHUNK)
             if metric == "l2":
                 dist = bias - 2.0 * cross + n_refs[f][0]
             else:
@@ -1063,26 +1102,12 @@ def _shared_kernel_factory(d: int, metric: str):
         for f in range(FAN_S):
             x = x_refs[f][:]  # (CHUNK, d) residual rows, table dtype
             nrm = n_refs[f][0, 0]  # (CHUNK,) f32; SENTINEL on pad rows
-            int8_mode = x.dtype == jnp.int8
             qc8 = qcs_ref[0, f * Q_SHARE : (f + 1) * Q_SHARE, :]
             # l2: |q-x|^2 = [|q-c|^2 outside] - 2 (q-c).res + |res|^2
             # (large terms exact f32); ip: -q.x = [-q.c outside] - q.res.
-            if int8_mode and _INT8_MXU:
-                # Per-ROW two-pass int8 split (each of the Q_SHARE rows
-                # gets its own scales) — same upcast-sweep elimination as
-                # the per-query kernel (see _int8_cross).
-                cross = _int8_cross(qc8, x, scl_ref[f, t])
-            else:
-                if int8_mode:
-                    x = x.astype(jnp.bfloat16)
-                prec = _dot_precision(x.dtype)
-                cross = jax.lax.dot_general(
-                    qc8.astype(x.dtype), x, (((1,), (1,)), ((), ())),
-                    precision=prec,
-                    preferred_element_type=jnp.float32,
-                )  # (Q_SHARE, CHUNK)
-                if int8_mode:
-                    cross = cross * scl_ref[f, t]
+            # Per-ROW splits (each of the Q_SHARE rows gets its own
+            # hi/lo or int8 scales) — same shared _cross_term.
+            cross = _cross_term(qc8, x, scl_ref[f, t])  # (Q_SHARE, CHUNK)
             if metric == "l2":
                 dist = nrm[None, :] - 2.0 * cross
             else:  # sentinel pads penalized

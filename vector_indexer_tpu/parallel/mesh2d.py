@@ -129,6 +129,7 @@ class Sharded2DSearcher:
             )
         if method == "stream":
             from ..ops.pallas.block_stream import SMEM_TASK_CAP
+            from ..index.ivf import _stream_rerank_wanted as _rr
             from .sharded import (
                 _fine_metric as _fm,
                 _sharded_stream_program_2d,
@@ -175,7 +176,8 @@ class Sharded2DSearcher:
                 q_tile=q_tile,
                 chunk=st["chunk"],
                 metric=_fm(self.index),
-                rerank=not exactish,
+                rerank=not exactish
+                and _rr(self.index.stream_dtype),
                 interpret=jax.default_backend() == "cpu",
             )
             D = np.asarray(D)[:nq]

@@ -264,6 +264,7 @@ class MultiHostSearcher:
         method = self._choose(nq, n_probe)
         if method == "stream":
             from ..ops.pallas.block_stream import SMEM_TASK_CAP
+            from ..index.ivf import _stream_rerank_wanted as _rr
 
             st = self._stream_tables()
             exactish = jnp.dtype(self.index.stream_dtype) == jnp.float32
@@ -304,7 +305,8 @@ class MultiHostSearcher:
                 metric=self.index.metric
                 if self.index.metric != "cosine"
                 else "ip",
-                rerank=not exactish,
+                rerank=not exactish
+                and _rr(self.index.stream_dtype),
                 interpret=jax.default_backend() == "cpu",
             )
         else:

@@ -269,6 +269,10 @@ def _build_local_stream_tables(tables: LocalTables, dtype) -> dict:
                 svecs[d_, base : base + m] = q8
             else:
                 svecs[d_, base : base + m] = res
+                # Norms of the rows AS STORED (single-chip builder parity):
+                # with the two-pass bf16 cross the kernel distance is then
+                # exact to the quantized point c + r-hat.
+                res = res.astype(jnp.dtype(dtype)).astype(np.float32)
             snorms[d_, base : base + m] = (
                 (res.astype(np.float64) ** 2).sum(1).astype(np.float32)
             )
@@ -430,6 +434,7 @@ class ShardedSearcher:
 
         if method == "stream":
             from ..ops.pallas.block_stream import SMEM_TASK_CAP
+            from ..index.ivf import _stream_rerank_wanted as _rr
 
             st = self._stream_tables()
             exactish = jnp.dtype(self.index.stream_dtype) == jnp.float32
@@ -472,7 +477,8 @@ class ShardedSearcher:
                 metric=self.index.metric
                 if self.index.metric != "cosine"
                 else "ip",
-                rerank=not exactish,
+                rerank=not exactish
+                and _rr(self.index.stream_dtype),
                 interpret=jax.default_backend() == "cpu",
             )
 
