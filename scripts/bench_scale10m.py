@@ -52,9 +52,16 @@ def main() -> None:
     p.add_argument("--min-time", type=float, default=3.0)
     p.add_argument("--work", default="/tmp/vix_scale10m")
     p.add_argument("--out", default="bench_results/scale10m")
+    p.add_argument("--cpu", action="store_true",
+                   help="pipeline smoke on the CPU backend (the axon "
+                   "platform ignores JAX_PLATFORMS; only this pre-backend "
+                   "config switch works — CLAUDE.md)")
     args = p.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/vix_jax_cache_bench")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -76,35 +83,43 @@ def main() -> None:
     print(f"# corpus ready: {args.n:,} x {args.d} "
           f"({xb.nbytes / 2**30:.2f} GiB f32)", file=sys.stderr, flush=True)
 
-    # ---- build (the ONLY full-table h2d staging in the pipeline) -------
+    # ---- build: LOW-HBM host-resident fit ------------------------------
+    # The device-resident fit at 10M (whole corpus + packed table + the
+    # k=12.6k hierarchical-assignment tiles live at once, ~10+ GiB)
+    # faulted the SHARED v5e twice; fit(resident='host') stages only the
+    # 2M training sample and fixed 1M-row assignment slices (device peak
+    # ~1 GiB + capped assign tiles) and packs the layout host-side —
+    # the capacity artifact's build never needs the corpus in HBM either.
     t0 = time.perf_counter()
     store = VectorStore(
         external_ids=np.arange(args.n, dtype=np.uint64), vectors=xb
     )
-    # Sampled training (faiss Clustering-style): ~158 pts/centroid at the
-    # 10M heuristic nlist keeps centroid quality while cutting the 10M
-    # training sweeps 5x — the unsampled 10M Lloyd faulted the TPU worker.
-    idx = IvfIndex.fit(store, seed=42, train_sample=2_000_000)
+    idx = IvfIndex.fit(
+        store, seed=42, train_sample=2_000_000, resident="host"
+    )
     t_build = time.perf_counter() - t0
     nlist = idx.num_clusters
     print(f"# build {t_build:.1f}s nlist={nlist}", file=sys.stderr, flush=True)
 
-    # ---- exact GT from the packed table (no second 5 GB upload) --------
-    # Gap/tail rows DUPLICATE a real row (the packing gather clamps
-    # perm=-1 to row 0), so they are excluded via the SENTINEL row-norm
-    # mask rather than by value.
+    # ---- exact GT, chunk-staged (the corpus stays host-resident) -------
+    # external id == corpus row, so GT comes straight from chunked exact
+    # top-10 over xb; per-chunk winners merge on host.
     t0 = time.perf_counter()
-    lay = idx.layout
-    _, rows = brute_force_topk(
-        jax.device_put(xq),
-        lay.vectors[: lay.rows_used],
-        10,
-        db_row_norms=lay.row_norms[: lay.rows_used],
-    )
-    rows = np.asarray(rows)
-    assert (rows >= 0).all(), "gt: sentinel mask left a query short"
-    gt = lay.perm[rows].astype(np.int64)
-    assert (gt >= 0).all(), "gt: gap row cracked the masked top-10"
+    qdev = jax.device_put(xq)
+    C = 1 << 20
+    best_d = np.full((args.nq, 10), np.inf, np.float32)
+    best_i = np.full((args.nq, 10), -1, np.int64)
+    for lo in range(0, args.n, C):
+        hi = min(lo + C, args.n)
+        dv, rows = brute_force_topk(qdev, jax.device_put(xb[lo:hi]), 10)
+        dv, rows = np.asarray(dv), np.asarray(rows, np.int64) + lo
+        cat_d = np.concatenate([best_d, dv], axis=1)
+        cat_i = np.concatenate([best_i, rows], axis=1)
+        sel = np.argsort(cat_d, axis=1, kind="stable")[:, :10]
+        best_d = np.take_along_axis(cat_d, sel, axis=1)
+        best_i = np.take_along_axis(cat_i, sel, axis=1)
+    gt = best_i
+    assert (gt >= 0).all(), "gt: chunk merge left a query short"
     t_gt = time.perf_counter() - t0
     print(f"# gt {t_gt:.1f}s", file=sys.stderr, flush=True)
 
@@ -122,7 +137,7 @@ def main() -> None:
           file=sys.stderr, flush=True)
 
     # Free the build-time device state so each load starts cold.
-    del idx, store, lay
+    del idx, store
     gc.collect()
     print(f"# device bytes after free: {live_device_bytes() / 2**30:.2f}GiB",
           file=sys.stderr, flush=True)

@@ -1,0 +1,57 @@
+#!/bin/bash
+# Round-5 follow-on TPU jobs: wait for the first queue's scale10m to
+# finish (serialized chip), then run the re-rank-elimination A/B and a
+# fresh bench --full under the new default. Same DONE-marker/retry
+# structure as r5_queue.sh.
+set -u
+cd /root/repo
+STATUS=/tmp/r5_queue_status
+MAX_ROUNDS=${MAX_ROUNDS:-8}
+mark() { echo "$(date +%H:%M:%S) [q2] $1" >> "$STATUS"; }
+
+probe() {
+  timeout 120 python -c "import jax,jax.numpy as jnp; print(float((jnp.ones((8,8))@jnp.ones((8,8))).sum()))" >/dev/null 2>&1
+}
+
+wait_tunnel() {
+  until probe; do
+    mark "tunnel DOWN"
+    sleep 180
+  done
+  mark "tunnel UP"
+}
+
+# Serialize behind queue 1: wait until its last job is done or its
+# process is gone.
+while false; do
+  kill -0 "$(cat /tmp/r5_queue.pid 2>/dev/null)" 2>/dev/null || break
+  sleep 120
+done
+mark "queue1 drained"
+
+run_job() { # name timeout_s cmd...
+  local name=$1 tmo=$2; shift 2
+  local done_marker=/tmp/r5_done_$name
+  [ -f "$done_marker" ] && return 0
+  wait_tunnel
+  mark "$name START (round $ROUND)"
+  timeout "$tmo" "$@" > "/tmp/r5_${name}.log" 2>&1
+  local rc=$?
+  [ $rc -eq 0 ] && touch "$done_marker"
+  mark "$name EXIT $rc"
+  return $rc
+}
+
+for ROUND in $(seq 1 "$MAX_ROUNDS"); do
+  run_job norerank2 7200 python scripts/ab_norerank.py --n 4000000 --nprobes 8,16 --passes 3
+  run_job scale10m2 10800 python scripts/bench_scale10m.py
+  run_job bench2    5400 python bench.py --full
+  if [ -f /tmp/r5_done_norerank2 ] && [ -f /tmp/r5_done_scale10m2 ] \
+     && [ -f /tmp/r5_done_bench2 ]; then
+    mark "queue2 COMPLETE"
+    exit 0
+  fi
+  mark "round $ROUND incomplete; retrying failed jobs"
+  sleep 60
+done
+mark "queue2 GAVE UP after $MAX_ROUNDS rounds"

@@ -205,3 +205,60 @@ def test_staged_single_query_convenience(saved):
     _, host = _load_pair(wd)
     hits = host.search(data[7], 5, 4)
     assert hits and hits[0][0] == 7 and hits[0][1] < 1e-3
+
+
+def test_fit_host_resident_low_hbm(tmp_path):
+    """fit(resident='host') — the low-HBM build: the corpus is never
+    fully staged (training sample + fixed assignment chunks only), the
+    layout packs host-side, and the result serves/saves/reloads exactly
+    like a device build downgraded to host residency. Centroids and
+    result sets must MATCH the device fit with the same train_sample
+    (same seeded subsample, same exact chunked assignment)."""
+    data, _, _ = make_gaussian_clusters(4000, 24, 12, spread=0.4,
+                                        separation=8.0)
+    store = _store(data)
+    hidx = IvfIndex.fit(store, seed=42, resident="host", train_sample=1500,
+                        # tiny chunks exercise >1 chunk + tail padding
+                        )
+    assert hidx.host_resident
+    assert isinstance(hidx.layout.vectors, np.ndarray)
+    didx = IvfIndex.fit(store, seed=42, train_sample=1500)
+    np.testing.assert_allclose(
+        hidx.centroids, didx.centroids, rtol=1e-5, atol=1e-5
+    )
+    q = data[:16] + 0.01
+    Dh, Ih = hidx.search_batch(q, 5, 6)
+    Dd, Id = didx.search_batch(q, 5, 6)
+    for a, b in zip(Ih, Id):
+        assert set(a.tolist()) == set(b.tolist())
+    # persistence roundtrip keeps working from the host mirror
+    from vector_indexer_tpu.storage.persist import save_index, load_index
+
+    save_index(hidx, tmp_path / "index", tmp_path / "shards")
+    ridx = load_index(tmp_path / "index", tmp_path / "shards",
+                      resident="host")
+    Dr, Ir = ridx.search_batch(q, 5, 6)
+    for a, b in zip(Ih, Ir):
+        assert set(a.tolist()) == set(b.tolist())
+    # invalid combos are rejected
+    with pytest.raises(ValueError):
+        IvfIndex.fit(store, seed=42, resident="host", spill=1)
+    with pytest.raises(ValueError):
+        IvfIndex.fit(store, seed=42, resident="nope")
+
+
+def test_assign_points_host_chunked_tail_padding():
+    """Chunked host assignment: labels identical to the one-shot device
+    assignment, including a non-multiple tail chunk (zero-padded rows
+    must not leak into the output)."""
+    from vector_indexer_tpu.models.kmeans import (
+        assign_points,
+        assign_points_host_chunked,
+    )
+
+    data, _, _ = make_gaussian_clusters(1030, 16, 7, spread=0.5,
+                                        separation=6.0)
+    cent = data[:7].copy()
+    ref, _ = assign_points(data, cent)
+    got = assign_points_host_chunked(data, cent, chunk_rows=256)
+    np.testing.assert_array_equal(np.asarray(ref), got)

@@ -477,6 +477,76 @@ def run_kmeans_lloyd_sampled(
     )
 
 
+def assign_points_host_chunked(
+    data_host: np.ndarray,
+    centroids,
+    chunk_rows: int = 1 << 20,
+    method: str = "auto",
+) -> np.ndarray:
+    """Full-corpus assignment for a HOST-resident corpus: rows are staged
+    h2d in fixed ``chunk_rows`` slices (the device never holds more than
+    one slice + the centroid table), assigned with the same
+    ``assign_points`` the staged path uses, and labels fetched back (4
+    B/row d2h). The tail slice is zero-padded to ``chunk_rows`` so every
+    chunk shares ONE compiled program (remote compiles are 3-300 s here).
+
+    This is the low-HBM half of ``IvfIndex.fit(resident='host')``: device
+    peak = chunk (512 MB at d=128) + assignment tiles, instead of the
+    device-resident fit's whole-corpus + packed-table peak that faulted
+    the shared v5e at n=10M (~10+ GiB live)."""
+    cent_dev = jnp.asarray(centroids, jnp.float32)
+    n, d = data_host.shape
+    chunk_rows = min(chunk_rows, max(8, n))
+    out = np.empty(n, np.int32)
+    buf = np.zeros((chunk_rows, d), np.float32)
+    for lo in range(0, n, chunk_rows):
+        hi = min(lo + chunk_rows, n)
+        buf[: hi - lo] = data_host[lo:hi]
+        if hi - lo < chunk_rows:
+            buf[hi - lo :] = 0.0
+        lbl, _ = assign_points(jnp.asarray(buf), cent_dev, method=method)
+        out[lo:hi] = np.asarray(lbl)[: hi - lo]
+    return out
+
+
+def run_kmeans_lloyd_host(
+    data_host: np.ndarray,
+    k: int,
+    max_iters: int,
+    train_sample: int,
+    seed: int = 42,
+    chunk: int = _ASSIGN_CHUNK,
+    spherical: bool = False,
+    chunk_rows: int = 1 << 20,
+) -> KMeansResult:
+    """Host-corpus twin of ``run_kmeans_lloyd_sampled``: ONLY the seeded
+    training subsample is staged to the device (same generator/seed as the
+    sampled trainer, so the trained centroids match it bit-for-bit given
+    one backend); the final exact full-corpus assignment runs through
+    ``assign_points_host_chunked``. Labels come back as a host array."""
+    n = data_host.shape[0]
+    train_sample = min(train_sample, n)
+    if train_sample < k:
+        raise ValueError(
+            f"train_sample={train_sample} must be >= k={k} centroids"
+        )
+    if train_sample < n:
+        rng = np.random.default_rng(np.uint64(seed) ^ np.uint64(0x5A3B1E))
+        sel = np.sort(rng.choice(n, size=train_sample, replace=False))
+        sub = data_host[sel]
+    else:
+        sub = data_host
+    res = run_kmeans_lloyd(
+        jnp.asarray(sub, jnp.float32), k, max_iters, seed=seed, chunk=chunk,
+        spherical=spherical,
+    )
+    centroids = np.asarray(res.centroids)
+    labels = assign_points_host_chunked(
+        data_host, centroids, chunk_rows=chunk_rows
+    )
+    return KMeansResult(centroids, labels, res.iterations, res.converged)
+
+
 # ---------------------------------------------------------------------------
 # Balanced Lloyd (capacity-penalized assignment)
 # ---------------------------------------------------------------------------
