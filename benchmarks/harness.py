@@ -117,6 +117,30 @@ def work_accounting(core, xq: np.ndarray, n_probe: int, method: str) -> dict:
     return dict(method=dec.method, cand_per_q=cand, mb_per_q=bytes_q / 2**20)
 
 
+def pipelined_seconds_per_call(fn, min_time: float = 2.0, pipe: int = 32) -> float:
+    """Seconds per call of a device-dispatching ``fn``, measured with the
+    tunnel-safe pipelined pattern (CLAUDE.md): PIPE async dispatches per
+    4-byte completion barrier, repeated until ``min_time`` elapsed. The
+    per-dispatch ~28 ms device->host fetch cost amortizes across the
+    pipeline; shallower depths inflate every batch (~3.5 ms at depth 8).
+    ONE shared implementation for every A/B script — the depth/barrier
+    economics live here, not in per-script copies."""
+    import jax
+
+    out = fn()  # warm/compile
+    _ = np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
+    t0 = time.perf_counter()
+    n = 0
+    while True:
+        for _ in range(pipe):
+            out = fn()
+            n += 1
+        _ = np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
+        el = time.perf_counter() - t0
+        if el >= min_time:
+            return el / n
+
+
 def recall_at(I: np.ndarray, gt: np.ndarray, rank: int) -> float:
     """True-NN-in-top-rank recall definition (bench_all_ivf.py:336-350)."""
     return float((I[:, :rank] == gt[:, :1]).any(axis=1).mean())

@@ -30,21 +30,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timeit(fn, min_time=2.0, pipe=32):
-    import jax
-
-    out = fn()
-    _ = np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
-    t0 = time.perf_counter()
-    n = 0
-    while True:
-        for _ in range(pipe):
-            out = fn()
-            n += 1
-        _ = np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
-        el = time.perf_counter() - t0
-        if el >= min_time:
-            return el / n
+from benchmarks.harness import pipelined_seconds_per_call as timeit  # noqa: E402
 
 
 def main():

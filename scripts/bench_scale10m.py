@@ -12,10 +12,11 @@ The reference's capacity story is disk-resident shards + selective reads
     the probed cells' aligned posting blocks h2d (int8 staging shrinks the
     payload 4x; the widened shortlist is re-ranked exactly on the host).
 
-Pipeline: build once on device (the only full-table staging), exact GT
-from the packed table (no second upload), persist, free HBM, then load +
-sweep each residency mode, recording load wall, staged/swept MB/q, QPS,
-and recall.
+Pipeline: LOW-HBM build (fit(resident='host'): sampled training + chunked
+assignment; the corpus never fully enters HBM), exact GT host-side
+(torch sgemm — no second corpus upload, no tunnel dependence), persist,
+then load + sweep each residency mode, recording load wall, staged/swept
+MB/q, QPS, and recall.
 
     python scripts/bench_scale10m.py --n 10000000 --out bench_results/scale10m
 """
@@ -68,7 +69,6 @@ def main() -> None:
 
     from vector_indexer_tpu import bindings
     from vector_indexer_tpu.index import IvfIndex
-    from vector_indexer_tpu.ops import brute_force_topk
     from vector_indexer_tpu.storage import VectorStore
     from vector_indexer_tpu.storage.persist import save_index
 
@@ -101,27 +101,35 @@ def main() -> None:
     nlist = idx.num_clusters
     print(f"# build {t_build:.1f}s nlist={nlist}", file=sys.stderr, flush=True)
 
-    # ---- exact GT, chunk-staged (the corpus stays host-resident) -------
+    # ---- exact GT on the HOST (BLAS), zero tunnel dependence -----------
     # external id == corpus row, so GT comes straight from chunked exact
-    # top-10 over xb; per-chunk winners merge on host.
+    # top-10 over xb. Host-side on purpose: re-staging the 5 GB corpus a
+    # second time over the tunnel (the fit's chunked assignment already
+    # paid one pass) costs tens of minutes and a tunnel-flap retry risk;
+    # the whole GT is ~2.6 TFLOP of sgemm.
     t0 = time.perf_counter()
-    qdev = jax.device_put(xq)
-    C = 1 << 20
-    best_d = np.full((args.nq, 10), np.inf, np.float32)
-    best_i = np.full((args.nq, 10), -1, np.int64)
+    import torch  # cpu: ~15x numpy's sgemm on this container (measured)
+
+    torch.set_num_threads(os.cpu_count() or 1)
+    C = 1 << 18  # 1 GB distance block at nq=1024
+    tq = torch.from_numpy(xq)
+    q_sq = (tq.double() ** 2).sum(1).float()
+    best_d = torch.full((args.nq, 10), float("inf"))
+    best_i = torch.full((args.nq, 10), -1, dtype=torch.int64)
     for lo in range(0, args.n, C):
         hi = min(lo + C, args.n)
-        dv, rows = brute_force_topk(qdev, jax.device_put(xb[lo:hi]), 10)
-        dv, rows = np.asarray(dv), np.asarray(rows, np.int64) + lo
-        cat_d = np.concatenate([best_d, dv], axis=1)
-        cat_i = np.concatenate([best_i, rows], axis=1)
-        sel = np.argsort(cat_d, axis=1, kind="stable")[:, :10]
-        best_d = np.take_along_axis(cat_d, sel, axis=1)
-        best_i = np.take_along_axis(cat_i, sel, axis=1)
-    gt = best_i
+        blk = torch.from_numpy(xb[lo:hi])
+        dist = q_sq[:, None] - 2.0 * (tq @ blk.T) + (blk * blk).sum(1)[None, :]
+        dv, di = torch.topk(dist, 10, largest=False)
+        cat_d = torch.cat([best_d, dv], dim=1)
+        cat_i = torch.cat([best_i, di + lo], dim=1)
+        dv2, sel = torch.topk(cat_d, 10, largest=False)
+        best_d = dv2
+        best_i = torch.gather(cat_i, 1, sel)
+    gt = best_i.numpy()
     assert (gt >= 0).all(), "gt: chunk merge left a query short"
     t_gt = time.perf_counter() - t0
-    print(f"# gt {t_gt:.1f}s", file=sys.stderr, flush=True)
+    print(f"# gt {t_gt:.1f}s (host sgemm)", file=sys.stderr, flush=True)
 
     # ---- persist (host-mirror slicing; no d2h) --------------------------
     index_dir = os.path.join(args.work, "index")

@@ -37,25 +37,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timeit(fn, min_time=2.0, pipe=32):
-    """Pipelined device timing (CLAUDE.md methodology): PIPE dispatches per
-    4-byte completion barrier; returns seconds per call."""
-    import jax
-
-    out = fn()  # warm/compile
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    _ = np.asarray(leaf.ravel()[:1])
-    t0 = time.perf_counter()
-    n = 0
-    while True:
-        for _ in range(pipe):
-            out = fn()
-            n += 1
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        _ = np.asarray(leaf.ravel()[:1])
-        el = time.perf_counter() - t0
-        if el >= min_time:
-            return el / n
+from benchmarks.harness import pipelined_seconds_per_call as timeit  # noqa: E402
 
 
 def main():

@@ -21,14 +21,6 @@ wait_tunnel() {
   mark "tunnel UP"
 }
 
-# Serialize behind queue 1: wait until its last job is done or its
-# process is gone.
-while false; do
-  kill -0 "$(cat /tmp/r5_queue.pid 2>/dev/null)" 2>/dev/null || break
-  sleep 120
-done
-mark "queue1 drained"
-
 run_job() { # name timeout_s cmd...
   local name=$1 tmo=$2; shift 2
   local done_marker=/tmp/r5_done_$name

@@ -217,9 +217,10 @@ def test_fit_host_resident_low_hbm(tmp_path):
     data, _, _ = make_gaussian_clusters(4000, 24, 12, spread=0.4,
                                         separation=8.0)
     store = _store(data)
-    hidx = IvfIndex.fit(store, seed=42, resident="host", train_sample=1500,
-                        # tiny chunks exercise >1 chunk + tail padding
-                        )
+    # (Multi-chunk + tail-padding coverage lives in
+    # test_assign_points_host_chunked_tail_padding; this fit's n=4000
+    # fits one default chunk.)
+    hidx = IvfIndex.fit(store, seed=42, resident="host", train_sample=1500)
     assert hidx.host_resident
     assert isinstance(hidx.layout.vectors, np.ndarray)
     didx = IvfIndex.fit(store, seed=42, train_sample=1500)

@@ -355,11 +355,14 @@ def _ivf_search_stream_program(
     # neighbors. int8 tables quantize at ~s_c/2 per component and widen
     # further. stream_exact remains the exactness escape hatch.
     wide = 4 if stream_table.dtype == jnp.int8 else 2
-    kk = (
-        min(max(wide * k, 64 * (wide // 2)), t_fixed * stream_table.chunk)
-        if rerank
-        else k
-    )
+    kk = min(max(wide * k, 64 * (wide // 2)), t_fixed * stream_table.chunk)
+    # The widened shortlist stays even WITHOUT the re-rank: the in-sweep
+    # selection is hardware-approximate (approx_min_k recall_target=0.99
+    # per element, and the fused kernel's top-2-per-lane planes), so
+    # selecting only k would shave ~1% of true neighbors on real TPU;
+    # selecting kk then exact-narrowing by the same kernel distances is a
+    # ~free (nq, kk) top-k and recovers the selection (not distance) part
+    # of what the re-rank used to fix.
 
     def one_tile(qt):
         q_sq = sq_norms(qt)
@@ -400,7 +403,12 @@ def _ivf_search_stream_program(
             dvals = jnp.where(
                 jnp.isfinite(dvals), jnp.maximum(dvals, 0.0), dvals
             )
-        return dvals, rows
+        # Exact narrow kk -> k over the kernel distances (see the kk
+        # comment above: keeps the approximate selection honest).
+        dv, order = topk_smallest(dvals, k)
+        rsel = jnp.take_along_axis(rows, jnp.maximum(order, 0), axis=1)
+        rsel = jnp.where((order >= 0) & jnp.isfinite(dv), rsel, -1)
+        return dv, rsel
     if not _HOISTED_RERANK:  # A/B baseline: per-sweep-tile re-rank
         def rr_small(args):
             qt, rws = args
@@ -454,8 +462,11 @@ def _ivf_search_stream_program(
 def _dedup_topk(dvals, rows, perm_dev, *, k: int):
     """Collapse duplicate internal ids in a (nq, kk) candidate list (kk >=
     2k on spilled indexes, where a vector can surface from both its cells)
-    and re-select the top k. Duplicates carry identical exact distances, so
-    keeping the first occurrence is exact.
+    and re-select the top k. Candidates arrive distance-sorted, so the
+    first occurrence kept is the better one; under the re-ranked path
+    duplicates carry identical exact distances, and under the no-re-rank
+    default they differ only by the two cells' residual quantization
+    (each cell stores r-hat vs its OWN centroid — ~5e-4 rel).
 
     Narrow lists use an O(kk^2) comparison mask (pure VPU, no sorts); wide
     lists (k up to the 10k API cap -> kk 20k would be a 400M-element mask)

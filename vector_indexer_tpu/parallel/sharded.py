@@ -780,11 +780,7 @@ def _make_per_device_stream(
             # (index/ivf.py): int8 quantization noise needs a 4x/128-floor
             # re-rank margin where bf16 needs 2x/64.
             wide = 4 if table.dtype == jnp.int8 else 2
-            kk = (
-                min(max(wide * k, 64 * (wide // 2)), t_fixed * chunk)
-                if rerank
-                else k
-            )
+            kk = min(max(wide * k, 64 * (wide // 2)), t_fixed * chunk)
             dvals, rows = block_stream_search(
                 qt, table, probe, kk,
                 t_fixed=t_fixed, metric=metric, approx=True,
@@ -796,6 +792,22 @@ def _make_per_device_stream(
 
                 dvals, rows = _exact_rerank(
                     qt, q_sq, rows, vecs, norms, k, metric
+                )
+            else:
+                # Single-chip no-re-rank parity (index/ivf.py): clamp the
+                # f32-rounding ~-1e-5 on self matches, and exact-narrow
+                # the widened approximate selection kk -> k by the kernel
+                # distances.
+                if metric == "l2":
+                    dvals = jnp.where(
+                        jnp.isfinite(dvals), jnp.maximum(dvals, 0.0), dvals
+                    )
+                dvals, order = topk_smallest(dvals, k)
+                rows = jnp.take_along_axis(
+                    rows, jnp.maximum(order, 0), axis=1
+                )
+                rows = jnp.where(
+                    (order >= 0) & jnp.isfinite(dvals), rows, -1
                 )
             real = (rows >= 0) & jnp.isfinite(dvals) & (
                 dvals < SENTINEL_THRESHOLD
