@@ -61,9 +61,15 @@ def main() -> None:
     p.add_argument("--metric", default="l2", choices=["l2", "ip", "cosine"])
     p.add_argument(
         "--stream-dtype", default="bf16", choices=["bf16", "int8"],
-        help="stream-table residual dtype for the stream kernels (int8 = "
+        help="stream-table residual dtype for the stream kernels. int8 = "
         "per-cluster symmetric scales, in-kernel dequant, 4x-widened exact "
-        "device re-rank; halves the selective sweep's bytes)",
+        "device re-rank. CAPACITY option, not a throughput one: it halves "
+        "the selective sweep's bytes (its value when the f32 table is "
+        "offloaded, see offload_main_table), but measured slower than bf16 "
+        "at every equal operating point because the stream path is "
+        "fixed-cost-bound, not bandwidth-bound, and int8 keeps the exact "
+        "re-rank the bf16 default dropped (BENCH_r04 tail; "
+        "bench_results/stream_overhead)",
     )
     p.add_argument(
         "--backend",
