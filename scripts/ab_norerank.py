@@ -136,6 +136,18 @@ def main():
             finally:
                 idx.stream_dtype = jnp.bfloat16
                 os.environ.pop("VITPU_STREAM_RERANK", None)
+        # Crash-safe checkpoint after each pass: a killed/timed-out run
+        # keeps pass-0 recall/D-err and every completed timing (arm
+        # minima are recomputed from whatever passes finished).
+        os.makedirs("bench_results/norerank_ab", exist_ok=True)
+        with open("bench_results/norerank_ab/partial.json", "w") as f:
+            json.dump(
+                dict(n=n, d=d, nq=nq, k=k, passes_done=pno + 1,
+                     arms=[list(a) for a in arms],
+                     meta={str(a): [m[0], m[2], m[3]]
+                           for a, m in meta.items()},
+                     times={str(a): t for a, t in times.items()}),
+                f, indent=2)
 
     for ai, (method, sdt, p, rr) in enumerate(arms):
         if ai not in meta or not times[ai]:
