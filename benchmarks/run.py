@@ -65,11 +65,13 @@ def main() -> None:
         "per-cluster symmetric scales, in-kernel dequant, 4x-widened exact "
         "device re-rank. CAPACITY option, not a throughput one: it halves "
         "the selective sweep's bytes (its value when the f32 table is "
-        "offloaded, see offload_main_table), but measured slower than bf16 "
-        "at every equal operating point because the stream path is "
+        "offloaded, see offload_main_table), but measured 1.4-1.5x slower "
+        "than bf16 at equal operating points because the stream path is "
         "fixed-cost-bound, not bandwidth-bound, and int8 keeps the exact "
-        "re-rank the bf16 default dropped (BENCH_r04 tail; "
-        "bench_results/stream_overhead)",
+        "re-rank the bf16 default dropped (its quantized distances are an "
+        "order coarser, p99 rel 3.7e-3). VITPU_STREAM_RERANK=0 makes int8 "
+        "match bf16 qps at nprobe=8 with R@10 unchanged "
+        "(bench_results/norerank_ab)",
     )
     p.add_argument(
         "--backend",
