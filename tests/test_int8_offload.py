@@ -268,3 +268,133 @@ def test_offload_auto_single_query_dispatches_nq1(monkeypatch):
     D, I = idx.search_batch(data[0] + 0.01, 5, idx.num_clusters)
     assert seen == [1]
     assert I.shape[-1] == 5 and int(I.ravel()[0]) >= 0
+
+
+# --- rerank='device': two-layer corrected re-rank (ops/correction.py) ---
+
+
+def test_offload_device_rerank_end_to_end():
+    # rerank='device': results match the exact-host re-rank's SET and the
+    # corrected distances land ~2 orders closer to exact f32 than the
+    # rank-only int8 mode (14 effective bits vs 7).
+    data, _, _ = make_gaussian_clusters(8, 150, 24, spread=0.4, separation=8.0)
+    idx = IvfIndex.fit(_store(data), seed=7)
+    q = data[:32] + 0.01
+    D_ref, I_ref = idx.search_batch(q, 10, idx.num_clusters, method="gather")
+    idx.offload_main_table(rerank="device")
+    assert idx.offloaded and idx._corr_table is not None
+    D, I = idx.search_batch(q, 10, idx.num_clusters)
+    for a, b in zip(I_ref, I):
+        assert set(a.tolist()) == set(b.tolist())
+    np.testing.assert_allclose(np.sort(D_ref, 1), np.sort(D, 1),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_offload_device_rerank_distance_accuracy():
+    # The two-layer reconstruction must cut the int8-only distance error
+    # by >=10x at matched ids (s2 ~ s1/127 per component).
+    data, _, _ = make_gaussian_clusters(8, 150, 24, spread=0.5, separation=6.0)
+    q = data[:24] + 0.05
+
+    idx_n = IvfIndex.fit(_store(data), seed=7)
+    D_ref, I_ref = idx_n.search_batch(q, 10, idx_n.num_clusters,
+                                      method="gather")
+    idx_n.offload_main_table(rerank="none")
+    D_n, I_n = idx_n.search_batch(q, 10, idx_n.num_clusters)
+
+    idx_d = IvfIndex.fit(_store(data), seed=7)
+    idx_d.offload_main_table(rerank="device")
+    D_d, I_d = idx_d.search_batch(q, 10, idx_d.num_clusters)
+
+    def err_sum(D, I):
+        tot, cnt = 0.0, 0
+        for i in range(len(q)):
+            ref = {int(e): float(d) for e, d in zip(I_ref[i], D_ref[i])}
+            for e, d in zip(I[i], D[i]):
+                if int(e) in ref:
+                    tot += abs(d - ref[int(e)])
+                    cnt += 1
+        return tot / max(cnt, 1)
+
+    e_none, e_dev = err_sum(D_n, I_n), err_sum(D_d, I_d)
+    assert e_dev * 10 < max(e_none, 1e-9), (e_dev, e_none)
+
+
+def test_offload_device_rerank_spill_dedups():
+    data, _, _ = make_gaussian_clusters(6, 120, 16, spread=0.4, separation=8.0)
+    idx = IvfIndex.fit(_store(data), seed=5, spill=1)
+    idx.offload_main_table(rerank="device")
+    D, I = idx.search_batch(data[:16], 10, idx.num_clusters)
+    for row in I:
+        real = row[row >= 0]
+        assert len(set(real.tolist())) == len(real)
+    assert (I[:, 0] == np.arange(16)).all()
+    # Distances sorted ascending with +inf padding last.
+    assert (np.diff(np.where(np.isfinite(D), D, np.inf), axis=1) >= -1e-6).all()
+
+
+def test_offload_device_rerank_cosine():
+    data, _, _ = make_gaussian_clusters(6, 120, 16, spread=0.4, separation=8.0)
+    idx = IvfIndex.fit(_store(data), seed=3, metric="cosine")
+    q = data[:16] + 0.01
+    _, I_ref = idx.search_batch(q, 5, idx.num_clusters, method="gather")
+    idx.offload_main_table(rerank="device")
+    _, I = idx.search_batch(q, 5, idx.num_clusters)
+    hits = sum(len(set(a.tolist()) & set(b.tolist()))
+               for a, b in zip(I_ref, I))
+    assert hits >= 0.95 * I_ref.size
+
+
+def test_offload_from_host_device_rerank(tmp_path):
+    # Host-built correction table (load resident='offload',
+    # offload_rerank='device'): f32 corpus never staged; results match the
+    # device-offloaded rerank='device' index.
+    from vector_indexer_tpu.index import load_index_from
+
+    data, _, _ = make_gaussian_clusters(8, 150, 24, spread=0.4, separation=8.0)
+    idx = IvfIndex.fit(_store(data), seed=7)
+    q = data[:32] + 0.01
+    D_ref, I_ref = idx.search_batch(q, 10, idx.num_clusters, method="gather")
+    idx.save_shards_to(tmp_path / "shards")
+    idx.save_to(tmp_path / "index")
+
+    off = load_index_from(tmp_path / "index", tmp_path / "shards",
+                          resident="offload", offload_rerank="device")
+    assert off.offloaded and off._corr_table is not None
+    assert off.layout.vectors is None
+    D, I = off.search_batch(q, 10, off.num_clusters)
+    for a, b in zip(I_ref, I):
+        assert set(a.tolist()) == set(b.tolist())
+    np.testing.assert_allclose(np.sort(D_ref, 1), np.sort(D, 1),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_correction_table_host_matches_device_build():
+    # The host builder must reproduce the device builder's q2/scales/norms
+    # (same formulas; f32 summation order may differ in norms).
+    from vector_indexer_tpu.ops.correction import (
+        build_correction_table,
+        build_correction_table_host,
+    )
+    from vector_indexer_tpu.ops.pallas.block_stream import build_stream_table
+
+    data, _, _ = make_gaussian_clusters(6, 120, 16, spread=0.4, separation=8.0)
+    idx = IvfIndex.fit(_store(data), seed=5)
+    st = build_stream_table(idx.layout, idx.centroids, jnp.int8)
+    dev = build_correction_table(idx.layout, st)
+
+    class HostLay:
+        pass
+
+    hl = HostLay()
+    hl.offsets = np.asarray(idx.layout.offsets)
+    hl.lengths = np.asarray(idx.layout.lengths)
+    hl.vectors = np.asarray(idx.layout.vectors)
+    hl.dim = idx.layout.dim
+    host = build_correction_table_host(hl, st)
+    np.testing.assert_allclose(np.asarray(dev.scales2),
+                               np.asarray(host.scales2), rtol=1e-6)
+    assert (np.asarray(dev.q2) == np.asarray(host.q2)).mean() > 0.999
+    np.testing.assert_allclose(np.asarray(dev.norms_abs),
+                               np.asarray(host.norms_abs), rtol=1e-4)
+    assert (np.asarray(dev.inv) == np.asarray(host.inv)).all()

@@ -498,6 +498,70 @@ def _dedup_topk(dvals, rows, perm_dev, *, k: int):
     return dv, rsel
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "dedup", "rr_tile")
+)
+def _corrected_rerank_program(
+    queries,  # (nq_pad, d) f32, cosine-normalized by the caller
+    rows,  # (nq_pad, kk) int32 MAIN layout rows from the raw stream search
+    st,  # StreamTable (first quantization layer)
+    corr,  # ops.correction.CorrectionTable (second layer)
+    perm_dev,  # (n_pad,) int32 main row -> internal id (spill dedup)
+    *,
+    k: int,
+    metric: str,
+    dedup: bool,
+    rr_tile: int,
+):
+    """Device half of offload rerank='device': re-rank the widened
+    shortlist against the two-layer reconstruction x_hat = c + r_hat +
+    s2*q2 (~14 effective bits/component for int8 tables — p99 relative
+    distance error ~1e-5 vs the int8 kernel ranking's ~4e-3) without
+    touching the host. Same epilogue contract as the other programs:
+    +inf/-1 padding; spilled candidate lists are distance-sorted then
+    deduped by internal id on device (_dedup_topk)."""
+    nq_pad, d = queries.shape
+    kk = rows.shape[1]
+
+    def one(args):
+        qt, rw = args  # (rr_tile, d), (rr_tile, kk)
+        srow = corr.inv[jnp.maximum(rw, 0)]
+        cid = st.blk_cid[srow // st.chunk]
+        xhat = (
+            st.cent[cid]
+            + st.scales[cid][..., None] * st.vecs[srow].astype(jnp.float32)
+            + corr.scales2[cid][..., None] * corr.q2[srow].astype(jnp.float32)
+        )
+        cross = jnp.einsum(
+            "qd,qkd->qk", qt, xhat, precision=jax.lax.Precision.HIGHEST
+        )
+        if metric == "l2":
+            dist = jnp.maximum(
+                sq_norms(qt)[:, None] - 2.0 * cross + corr.norms_abs[srow],
+                0.0,
+            )
+        else:
+            dist = -cross
+        return jnp.where(rw < 0, jnp.inf, dist)
+
+    dist = jax.lax.map(
+        one,
+        (
+            queries.reshape(nq_pad // rr_tile, rr_tile, d),
+            rows.reshape(nq_pad // rr_tile, rr_tile, kk),
+        ),
+    ).reshape(nq_pad, kk)
+    if dedup:
+        dv, order = topk_smallest(dist, kk)  # full-width sort by corrected D
+        rows_s = jnp.take_along_axis(rows, jnp.maximum(order, 0), axis=1)
+        rows_s = jnp.where(order >= 0, rows_s, -1)
+        return _dedup_topk(dv, rows_s, perm_dev, k=k)
+    dv, order = topk_smallest(dist, k)
+    rsel = jnp.take_along_axis(rows, jnp.maximum(order, 0), axis=1)
+    rsel = jnp.where((order >= 0) & jnp.isfinite(dv), rsel, -1)
+    return dv, rsel
+
+
 def _host_topk(exact, internal, k: int):
     """No-dedup host top-k: argpartition to the k head, then sort only the
     head. Unspilled candidate lists are duplicate-free by construction
@@ -1040,15 +1104,19 @@ class IvfIndex:
 
         ``rerank``: 'host' (default) re-ranks a widened shortlist exactly
         from the host mirror — exact distances at a per-batch host cost
-        that dominates throughput for large shortlists; 'none' returns the
-        device's quantized-sweep ranking directly (distances carry the
-        int8 residual quantization error; selection quality is near-exact)
-        at full device throughput — the high-QPS serving mode.
+        that dominates throughput for large shortlists; 'device' re-ranks
+        the same shortlist ON DEVICE against a two-layer int8
+        reconstruction (ops/correction.py: +d+4 bytes/row HBM, distances
+        ~14-bit-accurate — p99 rel err ~1e-5 — with no host GEMM and no
+        host mirror needed at query time); 'none' returns the device's
+        quantized-sweep ranking directly (distances carry the int8
+        residual quantization error; selection quality is near-exact) at
+        full device throughput — the high-QPS serving mode.
 
         After offload only the 'stream' method is available; 'auto' resolves
         to it. Irreversible on this index object (reload to undo)."""
-        if rerank not in ("host", "none"):
-            raise ValueError("rerank must be 'host' or 'none'")
+        if rerank not in ("host", "device", "none"):
+            raise ValueError("rerank must be 'host', 'device', or 'none'")
         if self.layout is None:
             raise RuntimeError("index is empty: fit or load it first")
         if getattr(self, "host_resident", False):
@@ -1078,6 +1146,12 @@ class IvfIndex:
                 del self._stream_tables[dt]
         lay = self.layout
         self._n_pad = lay.vectors.shape[0]
+        self._corr_table = None
+        if rerank == "device":
+            from ..ops.correction import build_correction_table
+
+            with trace("correction_table.build"):
+                self._corr_table = build_correction_table(lay, st)
         # Remap stream rows to themselves as 'main rows' is not needed: the
         # to_main map stays valid (rows identify results); only the payload
         # arrays are freed.
@@ -1101,9 +1175,11 @@ class IvfIndex:
         f32 table exceeds device memory — ``offload_main_table`` needs the
         table staged to HBM first, which is exactly what cannot happen
         there. Same serving semantics as offload_main_table (method
-        'stream'; exact host re-rank by default)."""
-        if rerank not in ("host", "none"):
-            raise ValueError("rerank must be 'host' or 'none'")
+        'stream'; exact host re-rank by default; rerank='device' builds
+        the two-layer correction table on the HOST and uploads only its
+        compact arrays)."""
+        if rerank not in ("host", "device", "none"):
+            raise ValueError("rerank must be 'host', 'device', or 'none'")
         if self.layout is None:
             raise RuntimeError("index is empty: fit or load it first")
         lay = self.layout
@@ -1129,6 +1205,12 @@ class IvfIndex:
             )
         self._stream_tables = {self.stream_dtype: st}
         self._n_pad = lay.vectors.shape[0]
+        self._corr_table = None
+        if rerank == "device":
+            from ..ops.correction import build_correction_table_host
+
+            with trace("correction_table.build_host"):
+                self._corr_table = build_correction_table_host(lay, st)
         lay.vectors = None
         lay.row_norms = None
         self._runs = None
@@ -1220,15 +1302,17 @@ class IvfIndex:
         lengths = np.asarray(lay.lengths)
         if getattr(self, "offloaded", False):
             # Only the stream kernels can serve (no f32 table). The shared
-            # upgrade applies at huge probed footprints, but ONLY under
-            # rerank='host': there the >=128-wide shortlist re-ranked
-            # exactly makes the kernels result-equivalent (measured
-            # identical sets), while the device-ranked mode returns the
-            # raw width-k plane where shared's selection is measurably
+            # upgrade applies at huge probed footprints, but ONLY under a
+            # re-ranked mode ('host' or 'device'): there the >=128-wide
+            # shortlist re-ranked makes the kernels result-equivalent
+            # (measured identical sets), while the rank-only mode returns
+            # the raw width-k plane where shared's selection is measurably
             # lossier (set-overlap@10 0.947 vs stream 0.972 on a 12-blob
             # d=64 corpus, R@1=1.0 both).
             chunk = pick_chunk(lengths, d, itemsize)
-            if getattr(self, "_offload_rerank", "host") == "host" and (
+            if getattr(self, "_offload_rerank", "host") in (
+                "host", "device",
+            ) and (
                 shared_gate(nq, n_probe, mean_slot_rows_of(lengths, chunk))
             ):
                 return "stream_shared"
@@ -1287,11 +1371,12 @@ class IvfIndex:
             from .staged import staged_search
 
             return staged_search(self, queries, k, n_probe)
-        if (
-            getattr(self, "offloaded", False)
-            and getattr(self, "_offload_rerank", "host") == "host"
-        ):
-            return self._search_offloaded(queries, k, n_probe)
+        if getattr(self, "offloaded", False):
+            rr = getattr(self, "_offload_rerank", "host")
+            if rr == "host":
+                return self._search_offloaded(queries, k, n_probe)
+            if rr == "device":
+                return self._search_offloaded_device(queries, k, n_probe)
         dvals, irows = self.search_batch_device(queries, k, n_probe, method)
         nq = queries.shape[0] if queries.ndim == 2 else 1
         dvals = np.asarray(dvals)[:nq]
@@ -1347,6 +1432,59 @@ class IvfIndex:
             np.concatenate([o[0] for o in outs], axis=0),
             np.concatenate([o[1] for o in outs], axis=0),
         )
+
+    def _search_offloaded_device(self, queries, k: int, n_probe: int):
+        """Offloaded-mode DEVICE re-rank path (rerank='device'): widened
+        shortlist on the compact stream table, corrected two-layer re-rank
+        (+ spill dedup) entirely on device — one jitted epilogue, no host
+        gather/GEMM (_corrected_rerank_program / ops/correction.py)."""
+        queries = np.ascontiguousarray(queries, np.float32)
+        if queries.ndim == 1:
+            queries = queries[None, :]
+        nq, d = queries.shape
+        if d != self.dimension:
+            raise ValueError(
+                f"query dimension mismatch: expected {self.dimension}, got {d}"
+            )
+        spill = getattr(self, "spill", 0)
+        mult = getattr(self, "_offload_rerank_mult", 2)
+        kk = (1 + spill) * min(max(mult * k, 128), 4096)
+        method = self.choose_method(nq, n_probe)
+        _, rows = self.search_batch_device(
+            queries, kk, n_probe, method, _raw=True
+        )
+        st = self._stream_tables[self.stream_dtype]
+        corr = self._corr_table
+        q = queries
+        if self.metric == "cosine":
+            q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        nq_pad = rows.shape[0]
+        qp = np.zeros((nq_pad, d), np.float32)
+        qp[:nq] = q
+        # Query tile bounding the (rr, kk, d) f32 reconstruction temp to
+        # ~128 MB; rr must divide nq_pad (nq_pad is q_tile-aligned).
+        rr = min(nq_pad, max(1, (1 << 25) // max(kk * d, 1)))
+        while nq_pad % rr:
+            rr -= 1
+        dv, rsel = _corrected_rerank_program(
+            jnp.asarray(qp),
+            rows,
+            st,
+            corr,
+            self._perm_dev_table(),
+            k=k,
+            metric=self.metric if self.metric != "cosine" else "ip",
+            dedup=spill > 0,
+            rr_tile=rr,
+        )
+        dv = np.asarray(dv)[:nq]
+        rsel = np.asarray(rsel)[:nq]
+        lay = self.layout
+        bound = max(lay.rows_used - 1, 0)
+        internal = np.where(
+            rsel >= 0, lay.perm[np.clip(rsel, 0, bound)], -1
+        )
+        return dv, internal.astype(np.int64)
 
     def _offload_rerank_piece(self, queries, rows, k: int, spill: int):
         """Host half of the offloaded search for one query piece: exact
@@ -1728,14 +1866,23 @@ class IvfIndex:
         persist.save_shards(self, shards_dir)
 
 
-def load_index_from(index_dir, shards_dir=None, resident: str = "device") -> IvfIndex:
+def load_index_from(
+    index_dir,
+    shards_dir=None,
+    resident: str = "device",
+    offload_rerank: str = "host",
+) -> IvfIndex:
     """Load index metadata (+ posting layout from shard files when given).
 
     ``resident='host'`` keeps the layout in host RAM (unbounded-corpus
     serving via per-batch probed-cell staging, index/staged.py);
     ``resident='offload'`` uploads only a host-quantized int8 stream table
     (full-throughput device serving for f32 tables larger than HBM,
-    IvfIndex.offload_from_host)."""
+    IvfIndex.offload_from_host); ``offload_rerank`` picks its shortlist
+    re-rank: 'host' exact / 'device' two-layer corrected / 'none'."""
     from ..storage import persist
 
-    return persist.load_index(index_dir, shards_dir, resident=resident)
+    return persist.load_index(
+        index_dir, shards_dir, resident=resident,
+        offload_rerank=offload_rerank,
+    )

@@ -122,7 +122,12 @@ def save_shards(index, shards_dir) -> None:
     log.info("%d shards written to %s", index.num_shards, shards_dir)
 
 
-def load_index(index_dir, shards_dir=None, resident: str = "device"):
+def load_index(
+    index_dir,
+    shards_dir=None,
+    resident: str = "device",
+    offload_rerank: str = "host",
+):
     """Read index.bin; if shards_dir given, re-stage posting lists.
 
     ``resident``: 'device' (default) stages the layout into HBM; 'host'
@@ -131,7 +136,11 @@ def load_index(index_dir, shards_dir=None, resident: str = "device"):
     the corpus-sized h2d transfer at load time; 'offload' quantizes the
     compact int8 stream table on the host and uploads only it (~1/16 of
     the f32 residency) — full-throughput device serving for corpora whose
-    f32 table exceeds HBM (IvfIndex.offload_from_host)."""
+    f32 table exceeds HBM (IvfIndex.offload_from_host).
+
+    ``offload_rerank`` (resident='offload' only): 'host' (exact re-rank
+    from the host mirror), 'device' (two-layer int8 corrected re-rank on
+    device, ops/correction.py), or 'none' (raw quantized ranking)."""
     if resident not in ("device", "host", "offload"):
         raise ValueError("resident must be 'device', 'host', or 'offload'")
     from ..index.ivf import IvfIndex
@@ -170,7 +179,7 @@ def load_index(index_dir, shards_dir=None, resident: str = "device"):
         _stage_shards(idx, shards_dir, n_total, device_put=resident == "device")
         idx.host_resident = resident == "host"
         if resident == "offload":
-            idx.offload_from_host()
+            idx.offload_from_host(rerank=offload_rerank)
     return idx
 
 
