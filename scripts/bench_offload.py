@@ -112,14 +112,25 @@ def main() -> None:
     rows = sweep("full", lambda q, k, p: idx.search_batch(q, k, p, "stream"))
     bytes_full = live_device_bytes()  # after the sweep: bf16 table resident
 
-    # Offload: free the f32 (and bf16) tables; int8 sweep. Two serving
-    # modes: exact host re-rank, and device-ranked (quantized distances).
-    idx.offload_main_table()  # rerank='host'
-    bytes_off = live_device_bytes()
+    # Offload: free the f32 (and bf16) tables; int8 sweep. Three serving
+    # modes over the SAME stream table: exact host re-rank, two-layer
+    # corrected device re-rank (ops/correction.py; built while the f32
+    # table is still staged, hence rerank='device' at offload time), and
+    # device-ranked (raw quantized distances).
+    idx.offload_main_table(rerank="device")
+    bytes_off_rr = live_device_bytes()  # incl. the correction table
+    idx._offload_rerank = "host"  # flip serving mode on the same table
+    bytes_off = bytes_off_rr - (
+        idx._corr_table.hbm_bytes if idx._corr_table is not None else 0
+    )
     rows += sweep(
         "off-host", lambda q, k, p: idx.search_batch(q, k, p)
     )
-    idx._offload_rerank = "none"  # flip serving mode on the same table
+    idx._offload_rerank = "device"
+    rows += sweep(
+        "off-devrr", lambda q, k, p: idx.search_batch(q, k, p)
+    )
+    idx._offload_rerank = "none"
     rows += sweep(
         "off-dev", lambda q, k, p: idx.search_batch(q, k, p)
     )
@@ -132,6 +143,7 @@ def main() -> None:
         f32_table_bytes=f32_table_bytes,
         hbm_bytes_full_mode=bytes_full,
         hbm_bytes_offloaded=bytes_off,
+        hbm_bytes_offloaded_devrr=bytes_off_rr,
         rows=rows,
     )
     os.makedirs(args.out, exist_ok=True)
@@ -148,6 +160,9 @@ def main() -> None:
             "Modes: `full` = f32 table + bf16 stream sweep; `off-host` = "
             "int8 sweep + exact host re-rank (bounded by THIS container's "
             "single host core — production TPU-VM hosts have dozens); "
+            f"`off-devrr` = int8 sweep + two-layer corrected re-rank ON "
+            f"DEVICE (~14-bit distances, no host GEMM; "
+            f"+{(bytes_off_rr - bytes_off) / 2**30:.2f} GiB HBM); "
             "`off-dev` = int8 sweep, device-ranked (distances carry int8 "
             "quantization error, result sets match). All modes timed "
             "through the host-result path (includes the environment's "
