@@ -55,6 +55,22 @@ for nq in (1024, 8192):
     print(f"stream nq={nq} R@10={r10:.4f}", flush=True)
     assert r10 > 0.93, r10
 
+# Offload rerank='device' (two-layer corrected re-rank, ops/correction.py):
+# result-set parity with the exact-host re-rank at the same operating point.
+from vector_indexer_tpu.index import load_index_from  # noqa: E402
+
+xq32 = data[:32] + 0.01
+offh = load_index_from("/tmp/vix_vd/index", "/tmp/vix_vd/shards",
+                       resident="offload", offload_rerank="host")
+Dh, Ih = offh.search_batch(xq32, 10, 20)
+offd = load_index_from("/tmp/vix_vd/index", "/tmp/vix_vd/shards",
+                       resident="offload", offload_rerank="device")
+Dd, Id = offd.search_batch(xq32, 10, 20)
+ov = float(np.mean([len(set(Ih[i]) & set(Id[i])) / 10 for i in range(32)]))
+derr = float(np.abs(np.sort(Dh, 1) - np.sort(Dd, 1)).max())
+print(f"offload device-rerank parity: overlap@10={ov:.3f} max|dD|={derr:.2e}")
+assert ov >= 0.97 and derr < 2e-2, (ov, derr)
+
 print("probes: dim mismatch / k=0")
 try:
     ix2.search_sync(ix2.search_request(np.zeros(32, np.float32)))
